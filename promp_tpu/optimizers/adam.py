@@ -1,0 +1,53 @@
+"""In-framework Adam (full-batch, multi-epoch) for the MAML outer step.
+
+TPU-native replacement for the reference's first-order optimizers
+(reference: meta_policy_search/optimizers/maml_first_order_optimizer.py —
+``MAMLFirstOrderOptimizer`` wraps tf.train.AdamOptimizer and runs
+``max_epochs`` full-batch train ops; ``MAMLPPOOptimizer`` additionally
+reports inner/outer KL stats). Hyperparameter defaults match TF1's
+AdamOptimizer (lr 1e-3, beta1 0.9, beta2 0.999, eps 1e-8).
+
+The multi-epoch loop lives inside the jitted meta-update (a
+``lax.scan``), so the reference's 5 sess.run round-trips per outer step
+(maml_first_order_optimizer.py:102-106) become zero host transfers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: object   # pytree like params
+    nu: object   # pytree like params
+
+
+@dataclass(frozen=True)
+class Adam:
+    learning_rate: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+    def init(self, params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros((), jnp.int32), zeros,
+                         jax.tree.map(jnp.zeros_like, params))
+
+    def update(self, grads, state, params):
+        count = state.count + 1
+        b1, b2 = self.beta1, self.beta2
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        c = count.astype(jnp.float32)
+        # TF1 formulation: lr_t = lr * sqrt(1-b2^t)/(1-b1^t); eps OUTSIDE the
+        # bias correction (matches tf.train.AdamOptimizer semantics).
+        lr_t = self.learning_rate * jnp.sqrt(1 - b2**c) / (1 - b1**c)
+        new_params = jax.tree.map(
+            lambda p, m, v: p - lr_t * m / (jnp.sqrt(v) + self.eps),
+            params, mu, nu)
+        return new_params, AdamState(count, mu, nu)
