@@ -1,0 +1,85 @@
+"""Benchmark: ProMP meta-iteration throughput on the reference workload.
+
+Workload = the reference's implicit benchmark (BASELINE.md): ProMP on the
+2D point-mass corner env with run-script defaults — 40 meta-tasks x 20
+rollouts x 100 steps x 2 sampling rounds = 160,000 env steps per
+meta-iteration (pro-mp_run_point_mass.py:103-126), including the full
+learning step (inner adaptation + 5 PPO epochs with second-order grads).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its
+multiprocess CPU sampler is bounded by per-step sess.run + pipe pickling
+(SURVEY.md §3.2). We use 15,000 env-steps/s as a generous single-host
+estimate for the reference (c4.xlarge-class target, run_sweep.py:14) —
+the BASELINE.json north star asks for >=10x that.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_ENV_STEPS_PER_S = 15_000.0
+
+
+def main():
+    import jax
+
+    from promp_tpu.algos.promp import ProMP
+    from promp_tpu.envs import MetaPointEnvCorner, normalize
+    from promp_tpu.policies.gaussian_mlp import GaussianMLPPolicy
+    from promp_tpu.sampling.processor import SampleProcessor
+    from promp_tpu.trainer import Trainer
+
+    meta_batch_size, rollouts, horizon = 40, 20, 100
+    env = normalize(MetaPointEnvCorner())
+    policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
+                               action_dim=env.action_dim,
+                               hidden_sizes=(64, 64))
+    algo = ProMP(policy=policy, inner_lr=0.1, num_inner_grad_steps=1,
+                 learning_rate=1e-3, num_ppo_steps=5, clip_eps=0.3,
+                 init_inner_kl_penalty=5e-4,
+                 adaptive_inner_kl_penalty=False)
+    trainer = Trainer(
+        algo=algo, env=env, policy=policy,
+        sample_processor=SampleProcessor(discount=0.99, gae_lambda=1.0,
+                                         normalize_adv=True),
+        meta_batch_size=meta_batch_size,
+        rollouts_per_meta_task=rollouts,
+        max_path_length=horizon, n_itr=1, seed=1, fused=True)
+
+    steps_per_iter = meta_batch_size * rollouts * horizon * 2
+
+    rng = jax.random.PRNGKey(0)
+    state = (trainer.train_state, trainer.opt_state)
+
+    def run_iter(state, key):
+        ts, os_ = state
+        ts, os_, metrics = trainer._iteration(ts, os_, trainer.hparams, key)
+        return (ts, os_), metrics
+
+    # warmup / compile
+    for i in range(2):
+        rng, k = jax.random.split(rng)
+        state, metrics = run_iter(state, k)
+    jax.block_until_ready(state)
+
+    n_timed = 5
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        rng, k = jax.random.split(rng)
+        state, metrics = run_iter(state, k)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = steps_per_iter * n_timed / elapsed
+    print(json.dumps({
+        "metric": "env_steps_per_s_promp_pointmass_full_meta_iteration",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

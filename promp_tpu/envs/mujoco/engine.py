@@ -1,0 +1,310 @@
+"""JAX-native articulated rigid-body dynamics (generalized coordinates).
+
+TPU-native physics for the locomotion meta-envs, replacing the reference's
+CPython-bound MuJoCo (SURVEY.md §2.9 P6). MJX is unavailable in this stack,
+so this is a from-scratch engine built for the jit/vmap execution model:
+
+  * forward kinematics over a fixed kinematic tree (unrolled, static)
+  * mass matrix from geometric body Jacobians:
+        M(q) = sum_b m_b Jp_b^T Jp_b + Jr_b^T R I R^T Jr_b  (+ armature)
+  * Coriolis/centrifugal bias via AUTODIFF of the kinetic energy
+    (tau_c = Mdot(q) qdot - 1/2 d/dq [qdot^T M qdot]) and gravity via the
+    potential's gradient — no hand-derived dynamics, exact to machine eps
+  * ground contact as smooth penalty springs on contact spheres with
+    friction-cone-clamped tangential damping (plane z=0)
+  * joint-limit penalty springs; per-dof linear damping handled implicitly
+    in the integrator (the (M + h D) solve mirrors MuJoCo's Euler
+    integrator's implicit joint damping)
+  * anisotropic quadratic fluid drag per body capsule (swimmer's medium)
+
+Everything is a pure function of (q, qd, ctrl) and static model arrays, so
+whole-rollout scans fuse policy + physics into one XLA computation, batched
+over thousands of (task, env) instances.
+
+Semi-implicit Euler at the MJCF timestep with optional substeps; contact
+stiffness defaults give cheetah/walker/hopper-class stability at
+h = timestep as shipped in the gymnasium MJCFs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from promp_tpu.envs.mujoco.model import HINGE, SLIDE, ChainModel
+from promp_tpu.envs.mujoco.rotations import (
+    quat_from_axis_angle, quat_mul, quat_rotate, quat_to_mat)
+
+
+@dataclass(frozen=True)
+class Engine:
+    model: ChainModel
+    n_substeps: int = 1
+    contact_stiffness: float = 1.0e4
+    contact_damping: float = 1.0e2
+    contact_tangential_damping: float = 2.0e2
+    limit_stiffness: float = 4.0e3
+    limit_damping: float = 20.0
+    dtype: type = jnp.float32
+
+    # ------------------------------------------------------------------- fk
+    def fk(self, q):
+        """Forward kinematics.
+
+        Returns dict with body world frames and per-dof world axes/anchors:
+          body_pos (nb,3), body_quat (nb,4), com (nb,3),
+          dof_axis (nv,3), dof_anchor (nv,3).
+        """
+        m = self.model
+        dt = self.dtype
+        body_pos_w, body_quat_w = [], []
+        dof_axis = [None] * m.nv
+        dof_anchor = [None] * m.nv
+
+        dofs_of_body = [[] for _ in range(m.nb)]
+        for j, b in enumerate(m.jnt_body):
+            dofs_of_body[b].append(j)
+
+        for b in range(m.nb):
+            parent = m.body_parent[b]
+            if parent < 0:
+                p = jnp.zeros(3, dt)
+                r = jnp.array([1.0, 0.0, 0.0, 0.0], dt)
+            else:
+                p = body_pos_w[parent]
+                r = body_quat_w[parent]
+            # fixed offset from parent
+            p = p + quat_rotate(r, jnp.asarray(m.body_pos[b], dt))
+            r = quat_mul(r, jnp.asarray(m.body_quat[b], dt))
+            # joints of this body, applied in order
+            for j in dofs_of_body[b]:
+                axis_local = jnp.asarray(m.jnt_axis[j], dt)
+                anchor_local = jnp.asarray(m.jnt_pos[j], dt)
+                axis_w = quat_rotate(r, axis_local)
+                anchor_w = p + quat_rotate(r, anchor_local)
+                dof_axis[j] = axis_w
+                dof_anchor[j] = anchor_w
+                if m.jnt_type[j] == SLIDE:
+                    p = p + axis_w * q[j]
+                else:  # HINGE: rotate the body frame about axis through anchor
+                    dq = quat_from_axis_angle(axis_local, q[j])
+                    r_new = quat_mul(r, dq)
+                    # rotate the frame origin about the world-space anchor:
+                    # rel expressed in the pre-rotation body frame, then
+                    # re-expressed through the post-rotation frame
+                    rel = p - anchor_w
+                    rel_local = quat_rotate(
+                        jnp.concatenate([r[:1], -r[1:]]), rel)
+                    p = anchor_w + quat_rotate(r_new, rel_local)
+                    r = r_new
+            body_pos_w.append(p)
+            body_quat_w.append(r)
+
+        body_pos_w = jnp.stack(body_pos_w)
+        body_quat_w = jnp.stack(body_quat_w)
+        com = body_pos_w + jax.vmap(quat_rotate)(
+            body_quat_w, jnp.asarray(m.body_ipos, dt))
+        return dict(body_pos=body_pos_w, body_quat=body_quat_w, com=com,
+                    dof_axis=jnp.stack(dof_axis),
+                    dof_anchor=jnp.stack(dof_anchor))
+
+    # ------------------------------------------------------------ jacobians
+    def _point_jacobian(self, kin, points, point_body, ancestor):
+        """Translational Jacobian of world points attached to bodies.
+
+        points (np_,3); point_body: (np_,) static ints; ancestor: (np_, nv)
+        mask. Returns (np_, 3, nv).
+        """
+        m = self.model
+        axis = kin["dof_axis"]          # (nv, 3)
+        anchor = kin["dof_anchor"]      # (nv, 3)
+        is_hinge = jnp.asarray(
+            np.array([1.0 if t == HINGE else 0.0 for t in m.jnt_type]),
+            self.dtype)
+        # hinge columns: w x (p - a); slide columns: w
+        rel = points[:, None, :] - anchor[None, :, :]       # (np_, nv, 3)
+        hinge_cols = jnp.cross(axis[None, :, :], rel)        # (np_, nv, 3)
+        slide_cols = jnp.broadcast_to(axis[None, :, :], hinge_cols.shape)
+        cols = (is_hinge[None, :, None] * hinge_cols
+                + (1 - is_hinge)[None, :, None] * slide_cols)
+        cols = cols * ancestor[:, :, None]
+        return jnp.swapaxes(cols, 1, 2)                      # (np_, 3, nv)
+
+    def _body_jacobians(self, kin, ancestor):
+        """(Jp, Jr) of body COMs: (nb, 3, nv) each."""
+        m = self.model
+        Jp = self._point_jacobian(kin, kin["com"],
+                                  np.arange(m.nb), ancestor)
+        axis = kin["dof_axis"]
+        is_hinge = jnp.asarray(
+            np.array([1.0 if t == HINGE else 0.0 for t in m.jnt_type]),
+            self.dtype)
+        Jr_cols = axis[None, :, :] * is_hinge[None, :, None]
+        Jr_cols = Jr_cols * ancestor[:, :, None]
+        Jr = jnp.swapaxes(Jr_cols, 1, 2)
+        return Jp, Jr
+
+    # ---------------------------------------------------------- mass matrix
+    def mass_matrix(self, q):
+        m = self.model
+        dt = self.dtype
+        kin = self.fk(q)
+        ancestor = jnp.asarray(m.ancestor_mask(), dt)
+        Jp, Jr = self._body_jacobians(kin, ancestor)
+        mass = jnp.asarray(m.body_mass, dt)
+        R_b = jax.vmap(quat_to_mat)(kin["body_quat"])
+        R_i = jax.vmap(quat_to_mat)(jnp.asarray(m.body_iquat, dt))
+        R = R_b @ R_i                                  # inertial frame in world
+        I_world = R @ (jnp.asarray(m.body_inertia, dt)[:, :, None]
+                       * jnp.swapaxes(R, 1, 2))
+        M = (jnp.einsum("biv,b,biw->vw", Jp, mass, Jp)
+             + jnp.einsum("biv,bij,bjw->vw", Jr, I_world, Jr))
+        return M + jnp.diag(jnp.asarray(m.dof_armature, dt))
+
+    # ------------------------------------------------------------ potentials
+    def gravity_torque(self, q):
+        m = self.model
+
+        def potential(q):
+            kin = self.fk(q)
+            return -jnp.sum(jnp.asarray(m.body_mass, self.dtype)
+                            * self.model.gravity * kin["com"][:, 2])
+
+        return -jax.grad(potential)(q)
+
+    # -------------------------------------------------------------- contact
+    def contact_torque(self, q, qd):
+        m = self.model
+        if len(m.con_body) == 0:
+            return jnp.zeros_like(q), jnp.zeros((0, 3), self.dtype)
+        dt = self.dtype
+        kin = self.fk(q)
+        ancestor_b = m.ancestor_mask()
+        con_anc = jnp.asarray(
+            np.stack([ancestor_b[b] for b in m.con_body]), dt)
+        pts_local = jnp.asarray(m.con_pos, dt)
+        body_idx = np.asarray(m.con_body)
+        p_body = kin["body_pos"][body_idx]
+        q_body = kin["body_quat"][body_idx]
+        points = p_body + jax.vmap(quat_rotate)(q_body, pts_local)
+        J = self._point_jacobian(kin, points, body_idx, con_anc)  # (nc,3,nv)
+        vel = J @ qd                                              # (nc, 3)
+        radius = jnp.asarray(m.con_radius, dt)
+        phi = points[:, 2] - radius                               # penetration
+        in_contact = (phi < 0.0).astype(dt)
+        fn = (self.contact_stiffness * (-phi)
+              - self.contact_damping * vel[:, 2])
+        fn = jnp.maximum(fn, 0.0) * in_contact
+        vt = vel[:, :2]
+        vt_norm = jnp.sqrt(jnp.sum(vt**2, axis=-1) + 1e-8)
+        ft_mag = jnp.minimum(self.contact_tangential_damping * vt_norm,
+                             m.friction * fn)
+        ft = -ft_mag[:, None] * vt / vt_norm[:, None]
+        force = jnp.concatenate([ft * in_contact[:, None], fn[:, None]],
+                                axis=-1)                          # (nc, 3)
+        tau = jnp.einsum("civ,ci->v", J, force)
+        return tau, force
+
+    # ----------------------------------------------------------- fluid drag
+    def fluid_torque(self, q, qd):
+        m = self.model
+        if m.density == 0.0 and m.viscosity == 0.0:
+            return jnp.zeros_like(q)
+        dt = self.dtype
+        kin = self.fk(q)
+        ancestor = jnp.asarray(m.ancestor_mask(), dt)
+        Jp, Jr = self._body_jacobians(kin, ancestor)
+        v = Jp @ qd                                    # (nb, 3) com velocity
+        w = Jr @ qd                                    # (nb, 3) angular vel
+        R = jax.vmap(quat_to_mat)(kin["body_quat"])
+        axis_w = jnp.einsum("bij,bj->bi", R,
+                            jnp.asarray(m.geom_axis, dt))
+        r = jnp.asarray(m.geom_radius, dt)
+        h = jnp.asarray(m.geom_halflen, dt)
+        v_ax = jnp.sum(v * axis_w, axis=-1, keepdims=True) * axis_w
+        v_perp = v - v_ax
+        area_perp = 4.0 * r * h + np.pi * r**2        # projected side area
+        area_ax = np.pi * r**2
+        rho = m.density
+        drag = -(0.5 * rho * 1.2 * area_perp[:, None]
+                 * jnp.linalg.norm(v_perp, axis=-1, keepdims=True) * v_perp
+                 + 0.5 * rho * 0.4 * area_ax[:, None]
+                 * jnp.abs(jnp.sum(v * axis_w, -1, keepdims=True)) * v_ax)
+        # linear (Stokes-like) viscosity + angular drag: viscous term plus a
+        # quadratic term from the medium density (dominant for the swimmer)
+        visc = m.viscosity
+        drag = drag - 6.0 * np.pi * visc * r[:, None] * v
+        ang = (-8.0 * np.pi * visc * (r**3)[:, None] * w
+               - (rho * 0.3 * (r * h**4))[:, None] * w
+               * jnp.linalg.norm(w, axis=-1, keepdims=True))
+        return (jnp.einsum("biv,bi->v", Jp, drag)
+                + jnp.einsum("biv,bi->v", Jr, ang))
+
+    # -------------------------------------------------------------- dynamics
+    def _bias_torque(self, q, qd):
+        """Coriolis/centrifugal: Mdot qd - 1/2 d/dq (qd^T M qd)."""
+        _, Mdot = jax.jvp(self.mass_matrix, (q,), (qd,))
+        quad = jax.grad(lambda qq: 0.5 * qd @ self.mass_matrix(qq) @ qd)(q)
+        return -(Mdot @ qd) + quad
+
+    def _limit_torque(self, q, qd):
+        m = self.model
+        dt = self.dtype
+        lo = jnp.asarray(m.jnt_range[:, 0], dt)
+        hi = jnp.asarray(m.jnt_range[:, 1], dt)
+        limited = jnp.asarray((np.abs(m.jnt_range).sum(1) > 0), dt)
+        below = jnp.minimum(q - lo, 0.0)
+        above = jnp.maximum(q - hi, 0.0)
+        viol = below + above
+        tau = -self.limit_stiffness * viol - self.limit_damping * qd * (
+            (jnp.abs(viol) > 0).astype(dt))
+        return tau * limited
+
+    def substep(self, q, qd, tau_act, h):
+        m = self.model
+        dt = self.dtype
+        damping = jnp.asarray(m.dof_damping, dt)
+        stiffness = jnp.asarray(m.jnt_stiffness, dt)
+        springref = jnp.asarray(m.jnt_springref, dt)
+        tau = (tau_act
+               + self.gravity_torque(q)
+               + self._bias_torque(q, qd)
+               + self.contact_torque(q, qd)[0]
+               + self.fluid_torque(q, qd)
+               + self._limit_torque(q, qd)
+               - stiffness * (q - springref)
+               - damping * qd)
+        M = self.mass_matrix(q)
+        # implicit joint damping: (M + h D) qdd = tau  (MuJoCo Euler)
+        A = M + h * jnp.diag(damping)
+        qdd = jnp.linalg.solve(A, tau)
+        qd_new = qd + h * qdd
+        q_new = q + h * qd_new
+        return q_new, qd_new
+
+    def step(self, q, qd, ctrl, frame_skip):
+        """Advance frame_skip MJCF frames (the env-visible dt)."""
+        m = self.model
+        dt = self.dtype
+        gear = jnp.asarray(m.act_gear, dt)
+        lo = jnp.asarray(m.act_ctrlrange[:, 0], dt)
+        hi = jnp.asarray(m.act_ctrlrange[:, 1], dt)
+        ctrl = jnp.clip(ctrl, lo, hi)
+        tau_act = jnp.zeros(m.nv, dt).at[jnp.asarray(m.act_dof)].add(
+            gear * ctrl)
+        h = jnp.asarray(m.timestep / self.n_substeps, dt)
+
+        def body(carry, _):
+            q, qd = carry
+            q, qd = self.substep(q, qd, tau_act, h)
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None,
+                                  length=frame_skip * self.n_substeps)
+        return q, qd
+
+    @property
+    def dt(self):
+        return self.model.timestep

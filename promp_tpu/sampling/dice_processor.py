@@ -131,6 +131,19 @@ class DiceSampleProcessor:
         overall_std = jnp.std(masked_rewards)
         samples_data["adj_avg_rewards"] = (
             (masked_rewards - overall_mean) / (overall_std + 1e-8))
+
+        # path statistics (dice_sample_processor.py:131-145)
+        path_returns = jnp.sum(masked_rewards, axis=-1)  # (tasks, P)
+        samples_data["stats"] = dict(
+            AverageReturn=jnp.mean(path_returns),
+            AverageDiscountedReturn=jnp.mean(jnp.sum(discounted, axis=-1)),
+            NumTrajs=jnp.asarray(path_returns.size, jnp.float32),
+            StdReturn=jnp.std(path_returns),
+            MaxReturn=jnp.max(path_returns),
+            MinReturn=jnp.min(path_returns),
+            AveragePolicyStd=jnp.mean(
+                jnp.exp(traj["agent_infos"]["log_std"])),
+        )
         return samples_data
 
 
