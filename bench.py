@@ -24,6 +24,14 @@ REFERENCE_ENV_STEPS_PER_S = 15_000.0
 
 def main():
     import jax
+    # persistent compilation cache: first-ever run pays the (remote) XLA
+    # compile; subsequent driver runs start hot
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from promp_tpu.algos.promp import ProMP
     from promp_tpu.envs import MetaPointEnvCorner, normalize

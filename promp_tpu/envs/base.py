@@ -68,11 +68,19 @@ class TaskEnv:
         observation_space: Box
         action_space: Box
     Required methods: sample_tasks, reset, step (signatures above).
-    Optional: ``diagnostics_keys`` — names from the step info dict to
-    aggregate per iteration (the analog of MetaEnv.log_diagnostics).
+    Optional:
+      * ``diagnostics_keys`` — names from the step info dict to aggregate
+        per iteration (the analog of MetaEnv.log_diagnostics)
+      * ``never_done`` — True when episodes cannot terminate early; lets
+        the rollout engine drop the auto-reset branch from the compiled
+        scan body (smaller XLA program, faster compile)
+      * ``stochastic_step`` — False when ``step`` ignores its PRNG key;
+        drops the per-step key splits from the scan body
     """
 
     diagnostics_keys: Tuple[str, ...] = ()
+    never_done: bool = False
+    stochastic_step: bool = False
 
     @property
     def obs_dim(self):

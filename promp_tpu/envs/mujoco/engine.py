@@ -146,36 +146,50 @@ class Engine:
         Jr = jnp.swapaxes(Jr_cols, 1, 2)
         return Jp, Jr
 
+    # ----------------------------------------------------- physics overrides
+    def _phys(self, mods, name, default):
+        """Resolve a physics array, applying per-task multiplier overrides.
+
+        ``mods`` maps names ('body_mass', 'body_inertia', 'dof_damping',
+        'friction', 'body_pos_delta') to MULTIPLIERS (or deltas) — the task
+        representation of the rand-param envs (reference envs/base.py:51-136
+        randomizes exactly these via multiplicative factors).
+        """
+        arr = jnp.asarray(default, self.dtype)
+        if mods and name in mods:
+            arr = arr * jnp.asarray(mods[name], self.dtype)
+        return arr
+
     # ---------------------------------------------------------- mass matrix
-    def mass_matrix(self, q):
+    def mass_matrix(self, q, mods=None):
         m = self.model
         dt = self.dtype
         kin = self.fk(q)
         ancestor = jnp.asarray(m.ancestor_mask(), dt)
         Jp, Jr = self._body_jacobians(kin, ancestor)
-        mass = jnp.asarray(m.body_mass, dt)
+        mass = self._phys(mods, "body_mass", m.body_mass)
         R_b = jax.vmap(quat_to_mat)(kin["body_quat"])
         R_i = jax.vmap(quat_to_mat)(jnp.asarray(m.body_iquat, dt))
         R = R_b @ R_i                                  # inertial frame in world
-        I_world = R @ (jnp.asarray(m.body_inertia, dt)[:, :, None]
-                       * jnp.swapaxes(R, 1, 2))
+        inertia = self._phys(mods, "body_inertia", m.body_inertia)
+        I_world = R @ (inertia[:, :, None] * jnp.swapaxes(R, 1, 2))
         M = (jnp.einsum("biv,b,biw->vw", Jp, mass, Jp)
              + jnp.einsum("biv,bij,bjw->vw", Jr, I_world, Jr))
         return M + jnp.diag(jnp.asarray(m.dof_armature, dt))
 
     # ------------------------------------------------------------ potentials
-    def gravity_torque(self, q):
+    def gravity_torque(self, q, mods=None):
         m = self.model
+        mass = self._phys(mods, "body_mass", m.body_mass)
 
         def potential(q):
             kin = self.fk(q)
-            return -jnp.sum(jnp.asarray(m.body_mass, self.dtype)
-                            * self.model.gravity * kin["com"][:, 2])
+            return -jnp.sum(mass * self.model.gravity * kin["com"][:, 2])
 
         return -jax.grad(potential)(q)
 
     # -------------------------------------------------------------- contact
-    def contact_torque(self, q, qd):
+    def contact_torque(self, q, qd, mods=None):
         m = self.model
         if len(m.con_body) == 0:
             return jnp.zeros_like(q), jnp.zeros((0, 3), self.dtype)
@@ -199,13 +213,47 @@ class Engine:
         fn = jnp.maximum(fn, 0.0) * in_contact
         vt = vel[:, :2]
         vt_norm = jnp.sqrt(jnp.sum(vt**2, axis=-1) + 1e-8)
+        friction = self._phys(mods, "friction", m.friction)
         ft_mag = jnp.minimum(self.contact_tangential_damping * vt_norm,
-                             m.friction * fn)
+                             friction * fn)
         ft = -ft_mag[:, None] * vt / vt_norm[:, None]
         force = jnp.concatenate([ft * in_contact[:, None], fn[:, None]],
                                 axis=-1)                          # (nc, 3)
         tau = jnp.einsum("civ,ci->v", J, force)
         return tau, force
+
+    def body_velocities(self, q, qd):
+        """Per-body COM spatial velocities (v, w): (nb,3) each — the analog
+        of MuJoCo's cvel (used by humanoid observations)."""
+        kin = self.fk(q)
+        ancestor = jnp.asarray(self.model.ancestor_mask(), self.dtype)
+        Jp, Jr = self._body_jacobians(kin, ancestor)
+        return Jp @ qd, Jr @ qd
+
+    def contact_wrench(self, q, qd, mods=None):
+        """Aggregate contact forces per body -> (nb, 6) [torque, force]
+        rows about each body COM — the analog of MuJoCo's cfrc_ext (used by
+        ant/humanoid observations, ant_rand_goal.py:52-58)."""
+        m = self.model
+        nb = m.nb
+        if len(m.con_body) == 0:
+            return jnp.zeros((nb, 6), self.dtype)
+        kin = self.fk(q)
+        ancestor_b = m.ancestor_mask()
+        con_anc = jnp.asarray(
+            np.stack([ancestor_b[b] for b in m.con_body]), self.dtype)
+        body_idx = np.asarray(m.con_body)
+        p_body = kin["body_pos"][body_idx]
+        q_body = kin["body_quat"][body_idx]
+        points = p_body + jax.vmap(quat_rotate)(
+            q_body, jnp.asarray(m.con_pos, self.dtype))
+        _, force = self.contact_torque(q, qd, mods)
+        com = kin["com"][body_idx]
+        torque = jnp.cross(points - com, force)
+        wrench = jnp.zeros((nb, 6), self.dtype)
+        wrench = wrench.at[body_idx, :3].add(torque)
+        wrench = wrench.at[body_idx, 3:].add(force)
+        return wrench
 
     # ----------------------------------------------------------- fluid drag
     def fluid_torque(self, q, qd):
@@ -243,10 +291,11 @@ class Engine:
                 + jnp.einsum("biv,bi->v", Jr, ang))
 
     # -------------------------------------------------------------- dynamics
-    def _bias_torque(self, q, qd):
-        """Coriolis/centrifugal: Mdot qd - 1/2 d/dq (qd^T M qd)."""
-        _, Mdot = jax.jvp(self.mass_matrix, (q,), (qd,))
-        quad = jax.grad(lambda qq: 0.5 * qd @ self.mass_matrix(qq) @ qd)(q)
+    def _bias_torque(self, q, qd, mods=None):
+        """Coriolis/centrifugal: -(Mdot qd) + 1/2 d/dq (qd^T M qd)."""
+        _, Mdot = jax.jvp(lambda qq: self.mass_matrix(qq, mods), (q,), (qd,))
+        quad = jax.grad(
+            lambda qq: 0.5 * qd @ self.mass_matrix(qq, mods) @ qd)(q)
         return -(Mdot @ qd) + quad
 
     def _limit_torque(self, q, qd):
@@ -262,21 +311,21 @@ class Engine:
             (jnp.abs(viol) > 0).astype(dt))
         return tau * limited
 
-    def substep(self, q, qd, tau_act, h):
+    def substep(self, q, qd, tau_act, h, mods=None):
         m = self.model
         dt = self.dtype
-        damping = jnp.asarray(m.dof_damping, dt)
+        damping = self._phys(mods, "dof_damping", m.dof_damping)
         stiffness = jnp.asarray(m.jnt_stiffness, dt)
         springref = jnp.asarray(m.jnt_springref, dt)
         tau = (tau_act
-               + self.gravity_torque(q)
-               + self._bias_torque(q, qd)
-               + self.contact_torque(q, qd)[0]
+               + self.gravity_torque(q, mods)
+               + self._bias_torque(q, qd, mods)
+               + self.contact_torque(q, qd, mods)[0]
                + self.fluid_torque(q, qd)
                + self._limit_torque(q, qd)
                - stiffness * (q - springref)
                - damping * qd)
-        M = self.mass_matrix(q)
+        M = self.mass_matrix(q, mods)
         # implicit joint damping: (M + h D) qdd = tau  (MuJoCo Euler)
         A = M + h * jnp.diag(damping)
         qdd = jnp.linalg.solve(A, tau)
@@ -284,7 +333,7 @@ class Engine:
         q_new = q + h * qd_new
         return q_new, qd_new
 
-    def step(self, q, qd, ctrl, frame_skip):
+    def step(self, q, qd, ctrl, frame_skip, mods=None):
         """Advance frame_skip MJCF frames (the env-visible dt)."""
         m = self.model
         dt = self.dtype
@@ -298,7 +347,7 @@ class Engine:
 
         def body(carry, _):
             q, qd = carry
-            q, qd = self.substep(q, qd, tau_act, h)
+            q, qd = self.substep(q, qd, tau_act, h, mods)
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(body, (q, qd), None,

@@ -152,6 +152,11 @@ def build_from_mjcf(xml_path, contact_bodies=None):
         dadr = int(m.jnt_dofadr[j])
         if jtype == int(mujoco.mjtJoint.mjJNT_FREE):
             free_dof_start = len(jnt_type)
+            # for free joints MuJoCo's qpos IS the global pose and body_pos
+            # is only its initial value (folded into qpos0) — zero the fixed
+            # offset so slides+hinges fully define the frame
+            body_pos[body] = np.zeros(3)
+            body_quat[body] = np.array([1.0, 0.0, 0.0, 0.0])
             # 3 world-aligned slides + 3 intrinsic xyz hinges
             for k, axis in enumerate(np.eye(3)):
                 jnt_body.append(body)
@@ -263,11 +268,19 @@ def build_from_mjcf(xml_path, contact_bodies=None):
             init_qpos[d] = m.qpos0[tag[1]]
         elif tag[0] == "free_pos":
             init_qpos[d] = m.qpos0[tag[1]]
-        else:  # free_euler: qpos0 quat -> intrinsic xyz euler
-            quat = m.qpos0[tag[1]:tag[1] + 4]
-            from promp_tpu.envs.mujoco.rotations import euler_xyz_from_quat
-            import jax.numpy as jnp
-            e = euler_xyz_from_quat(jnp.asarray(quat))
+        else:  # free_euler: qpos0 quat -> intrinsic xyz euler (pure numpy —
+            # this runs at spec-build time, possibly under a jax trace)
+            w, x, y, z = m.qpos0[tag[1]:tag[1] + 4]
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)]])
+            e = (np.arctan2(-R[1, 2], R[2, 2]),
+                 np.arcsin(np.clip(R[0, 2], -1.0, 1.0)),
+                 np.arctan2(-R[0, 1], R[0, 0]))
             init_qpos[d] = float(e[tag[2]])
 
     return ChainModel(

@@ -48,6 +48,14 @@ class NormalizedEnv(TaskEnv):
     def diagnostics_keys(self):
         return self.env.diagnostics_keys
 
+    @property
+    def never_done(self):
+        return getattr(self.env, "never_done", False)
+
+    @property
+    def stochastic_step(self):
+        return getattr(self.env, "stochastic_step", True)
+
     def sample_tasks(self, key, n_tasks):
         return self.env.sample_tasks(key, n_tasks)
 

@@ -24,6 +24,7 @@ from promp_tpu.envs.base import Box, TaskEnv, register_env
 class MetaPointEnv(TaskEnv):
     """Single-task point env: reward -||s||, done when |s_i| < 0.01."""
 
+    stochastic_step: bool = False
     observation_space: Box = Box(-jnp.inf, jnp.inf, (2,))
     action_space: Box = Box(-0.1, 0.1, (2,))
 
@@ -47,6 +48,7 @@ class MetaPointEnv(TaskEnv):
 class MetaPointEnvV2(TaskEnv):
     """Goal tasks ~ U(-2,2)^2; reward -||goal - s||; reset at origin."""
 
+    stochastic_step: bool = False
     observation_space: Box = Box(-jnp.inf, jnp.inf, (2,))
     action_space: Box = Box(-0.1, 0.1, (2,))
 
@@ -75,6 +77,9 @@ class MetaPointEnvCornerGoals(MetaPointEnv):
 class MetaPointEnvMomentum(TaskEnv):
     """Velocity-integrating point mass with corner-goal tasks.
 
+    never_done/deterministic flags let the rollout scan drop its
+    auto-reset and per-step key-split branches.
+
     Port of point_env_2d_momentum.py: obs = (pos, vel) in R^4, action
     +-0.1 added to velocity, sparse reward max(radius - ||goal - pos||, 0)
     (:70-76), reset pos ~ U(-0.2,0.2)^2, vel ~ U(-0.1,0.1)^2 (:50-53).
@@ -82,6 +87,8 @@ class MetaPointEnvMomentum(TaskEnv):
 
     reward_type: str = "sparse"
     sparse_reward_radius: float = 2.0
+    never_done: bool = True
+    stochastic_step: bool = False
 
     observation_space: Box = Box(-jnp.inf, jnp.inf, (4,))
     action_space: Box = Box(-0.1, 0.1, (2,))

@@ -28,6 +28,8 @@ CORNERS = jnp.array([[-2.0, -2.0], [2.0, -2.0], [-2.0, 2.0], [2.0, 2.0]])
 class MetaPointEnvCorner(TaskEnv):
     reward_type: str = "sparse"
     sparse_reward_radius: float = 0.5
+    never_done: bool = True
+    stochastic_step: bool = False
 
     observation_space: Box = Box(-jnp.inf, jnp.inf, (2,))
     action_space: Box = Box(-0.2, 0.2, (2,))

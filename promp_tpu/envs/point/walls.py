@@ -26,6 +26,8 @@ CORNERS = jnp.array([[-2.0, -2.0], [2.0, -2.0], [-2.0, 2.0], [2.0, 2.0]])
 class MetaPointEnvWalls(TaskEnv):
     reward_type: str = "dense"
     sparse_reward_radius: float = 2.0
+    never_done: bool = True
+    stochastic_step: bool = False
 
     observation_space: Box = Box(-jnp.inf, jnp.inf, (2,))
     action_space: Box = Box(-0.2, 0.2, (2,))

@@ -62,6 +62,8 @@ def rollout(env, policy, params, tasks, key, n_envs, horizon, floor_std=True):
     """
     n_tasks = jax.tree.leaves(tasks)[0].shape[0]
     key_reset, key_scan = jax.random.split(key)
+    never_done = getattr(env, "never_done", False)
+    stochastic = getattr(env, "stochastic_step", True)
 
     # initial reset: one key per (task, env)
     reset_keys = jax.random.split(key_reset, n_tasks * n_envs).reshape(
@@ -80,21 +82,31 @@ def rollout(env, policy, params, tasks, key, n_envs, horizon, floor_std=True):
                                   dist_info["mean"].dtype)
         actions = dist_info["mean"] + noise * jnp.exp(dist_info["log_std"])
 
-        step_keys = jax.random.split(k_step, n_tasks * n_envs).reshape(
-            n_tasks, n_envs, -1)
+        if stochastic:
+            step_keys = jax.random.split(k_step, n_tasks * n_envs).reshape(
+                n_tasks, n_envs, -1)
+        else:
+            # deterministic dynamics: reuse one key, XLA drops it entirely
+            step_keys = jnp.broadcast_to(k_step, (n_tasks, n_envs)
+                                         + k_step.shape)
         step_env = jax.vmap(
             lambda s, a, t, ks: jax.vmap(env.step, in_axes=(0, 0, None, 0))(s, a, t, ks))
         new_state, new_obs, rewards, dones, env_infos = step_env(
             state, actions, tasks, step_keys)
-
-        # auto-reset terminated envs (vectorized_env_executor.py:44-50)
-        rk = jax.random.split(k_reset, n_tasks * n_envs).reshape(
-            n_tasks, n_envs, -1)
-        re_state, re_obs = reset_fn(rk, tasks)
         dones_f = dones.astype(jnp.bool_)
-        next_state = _tree_where(dones_f, re_state, new_state)
-        next_obs = jnp.where(dones_f[..., None], re_obs, new_obs)
-        next_t_seg = jnp.where(dones_f, 0, t_seg + 1)
+
+        if never_done:
+            # episodes only end at the horizon — no auto-reset branch
+            next_state, next_obs = new_state, new_obs
+            next_t_seg = t_seg + 1
+        else:
+            # auto-reset terminated envs (vectorized_env_executor.py:44-50)
+            rk = jax.random.split(k_reset, n_tasks * n_envs).reshape(
+                n_tasks, n_envs, -1)
+            re_state, re_obs = reset_fn(rk, tasks)
+            next_state = _tree_where(dones_f, re_state, new_state)
+            next_obs = jnp.where(dones_f[..., None], re_obs, new_obs)
+            next_t_seg = jnp.where(dones_f, 0, t_seg + 1)
 
         out = dict(
             observations=obs,

@@ -1,0 +1,52 @@
+"""MAML-TRPO on HalfCheetah-RandVel.
+
+Entry point mirroring reference run_scripts/maml_run_mujoco.py
+(TRPOMAML with exploration=False, :53-61; inner_type log_likelihood).
+"""
+import argparse
+import json
+import os
+import time
+
+from promp_tpu.run import run_experiment
+
+DEFAULT_CONFIG = {
+    'seed': 1,
+    'algo': 'TRPOMAML',
+    'baseline': 'LinearFeatureBaseline',
+    'env': 'HalfCheetahRandVelEnv',
+    'rollouts_per_meta_task': 20,
+    'max_path_length': 100,
+    'parallel': True,
+    'discount': 0.99,
+    'gae_lambda': 1,
+    'normalize_adv': True,
+    'hidden_sizes': (64, 64),
+    'learn_std': True,
+    'inner_lr': 0.1,
+    'inner_type': 'log_likelihood',
+    'step_size': 0.01,
+    'exploration': False,
+    'n_itr': 1001,
+    'meta_batch_size': 40,
+    'num_inner_grad_steps': 1,
+}
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description='MAML-TRPO (TPU-native)')
+    parser.add_argument('--config_file', type=str, default='')
+    parser.add_argument('--dump_path', type=str,
+                        default=os.path.join(
+                            os.path.dirname(os.path.dirname(
+                                os.path.realpath(__file__))),
+                            'data', 'maml', f'run_{int(time.time())}'))
+    parser.add_argument('--n_itr', type=int, default=None)
+    args = parser.parse_args()
+    if args.config_file:
+        with open(args.config_file) as f:
+            config = json.load(f)
+    else:
+        config = dict(DEFAULT_CONFIG)
+    if args.n_itr is not None:
+        config['n_itr'] = args.n_itr
+    run_experiment(config, dump_path=args.dump_path)
