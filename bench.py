@@ -54,30 +54,25 @@ def main():
                                          normalize_adv=True),
         meta_batch_size=meta_batch_size,
         rollouts_per_meta_task=rollouts,
-        max_path_length=horizon, n_itr=1, seed=1, fused=True)
+        max_path_length=horizon, n_itr=1, seed=1)
 
     steps_per_iter = meta_batch_size * rollouts * horizon * 2
 
     rng = jax.random.PRNGKey(0)
-    state = (trainer.train_state, trainer.opt_state)
 
-    def run_iter(state, key):
-        ts, os_ = state
-        ts, os_, metrics = trainer._iteration(ts, os_, trainer.hparams, key)
-        return (ts, os_), metrics
-
-    # warmup / compile
+    # warmup / compile (phase-split programs: rollout+process, adapt, outer
+    # — each compiles in seconds; the first device op may additionally wait
+    # on the TPU tunnel's claim grant, which is why warmup is untimed)
     for i in range(2):
         rng, k = jax.random.split(rng)
-        state, metrics = run_iter(state, k)
-    jax.block_until_ready(state)
+        trainer._run_phases(k)
 
     n_timed = 5
     t0 = time.perf_counter()
     for i in range(n_timed):
         rng, k = jax.random.split(rng)
-        state, metrics = run_iter(state, k)
-    jax.block_until_ready(state)
+        metrics, _ = trainer._run_phases(k)
+    jax.block_until_ready(trainer.train_state)
     elapsed = time.perf_counter() - t0
 
     steps_per_s = steps_per_iter * n_timed / elapsed

@@ -59,6 +59,7 @@ class Engine:
         """
         m = self.model
         dt = self.dtype
+        ref = m.jnt_ref
         body_pos_w, body_quat_w = [], []
         dof_axis = [None] * m.nv
         dof_anchor = [None] * m.nv
@@ -87,9 +88,10 @@ class Engine:
                 dof_axis[j] = axis_w
                 dof_anchor[j] = anchor_w
                 if m.jnt_type[j] == SLIDE:
-                    p = p + axis_w * q[j]
+                    # MuJoCo displaces by (qpos - ref) (mjcf 'ref' attr)
+                    p = p + axis_w * (q[j] - ref[j])
                 else:  # HINGE: rotate the body frame about axis through anchor
-                    dq = quat_from_axis_angle(axis_local, q[j])
+                    dq = quat_from_axis_angle(axis_local, q[j] - ref[j])
                     r_new = quat_mul(r, dq)
                     # rotate the frame origin about the world-space anchor:
                     # rel expressed in the pre-rotation body frame, then

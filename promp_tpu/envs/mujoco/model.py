@@ -53,6 +53,9 @@ class ChainModel:
     jnt_axis: np.ndarray                  # (nv, 3) axis in body frame
     jnt_pos: np.ndarray                   # (nv, 3) anchor in body frame
     jnt_range: np.ndarray                 # (nv, 2) limits; [0,0] = unlimited
+    jnt_ref: np.ndarray                   # (nv,) joint reference value —
+                                          # MuJoCo kinematics displace by
+                                          # (qpos - ref), mjcf 'ref' attr
     jnt_stiffness: np.ndarray             # (nv,)
     jnt_springref: np.ndarray             # (nv,)
     dof_damping: np.ndarray               # (nv,)
@@ -140,7 +143,7 @@ def build_from_mjcf(xml_path, contact_bodies=None):
         body_iquat.append(m.body_iquat[b].copy())
 
     jnt_body, jnt_type, jnt_axis, jnt_pos = [], [], [], []
-    jnt_range, jnt_stiffness, jnt_springref = [], [], []
+    jnt_range, jnt_stiffness, jnt_springref, jnt_ref = [], [], [], []
     dof_damping, dof_armature = [], []
     qpos_map = []  # engine dof -> mujoco qpos address (or ("free",...) tag)
     free_dof_start = -1
@@ -166,6 +169,7 @@ def build_from_mjcf(xml_path, contact_bodies=None):
                 jnt_range.append(np.zeros(2))
                 jnt_stiffness.append(0.0)
                 jnt_springref.append(0.0)
+                jnt_ref.append(0.0)
                 dof_damping.append(float(m.dof_damping[dadr + k]))
                 dof_armature.append(float(m.dof_armature[dadr + k]))
                 qpos_map.append(("free_pos", qadr + k))
@@ -177,6 +181,7 @@ def build_from_mjcf(xml_path, contact_bodies=None):
                 jnt_range.append(np.zeros(2))
                 jnt_stiffness.append(0.0)
                 jnt_springref.append(0.0)
+                jnt_ref.append(0.0)
                 dof_damping.append(float(m.dof_damping[dadr + 3 + k]))
                 dof_armature.append(float(m.dof_armature[dadr + 3 + k]))
                 qpos_map.append(("free_euler", qadr + 3, k))
@@ -193,6 +198,7 @@ def build_from_mjcf(xml_path, contact_bodies=None):
             jnt_stiffness.append(float(m.jnt_stiffness[j]))
             jnt_springref.append(float(m.qpos_spring[qadr])
                                  if hasattr(m, "qpos_spring") else 0.0)
+            jnt_ref.append(float(m.qpos0[qadr]))
             dof_damping.append(float(m.dof_damping[dadr]))
             dof_armature.append(float(m.dof_armature[dadr]))
             qpos_map.append(("scalar", qadr))
@@ -296,6 +302,7 @@ def build_from_mjcf(xml_path, contact_bodies=None):
         jnt_axis=np.asarray(jnt_axis, np.float64),
         jnt_pos=np.asarray(jnt_pos, np.float64),
         jnt_range=np.asarray(jnt_range, np.float64),
+        jnt_ref=np.asarray(jnt_ref, np.float64),
         jnt_stiffness=np.asarray(jnt_stiffness, np.float64),
         jnt_springref=np.asarray(jnt_springref, np.float64),
         dof_damping=np.asarray(dof_damping, np.float64),
@@ -322,7 +329,8 @@ def build_from_mjcf(xml_path, contact_bodies=None):
 
 _ARRAY_FIELDS = [
     "body_pos", "body_quat", "body_mass", "body_inertia", "body_ipos",
-    "body_iquat", "jnt_axis", "jnt_pos", "jnt_range", "jnt_stiffness",
+    "body_iquat", "jnt_axis", "jnt_pos", "jnt_range", "jnt_ref",
+    "jnt_stiffness",
     "jnt_springref", "dof_damping", "dof_armature", "act_gear",
     "act_ctrlrange", "con_pos", "con_radius", "init_qpos", "init_qvel",
     "geom_axis", "geom_halflen", "geom_radius",

@@ -47,6 +47,11 @@ class Trainer:
     fused: bool = False
     mesh: Optional[Any] = None  # jax.sharding.Mesh for multi-chip runs
     task_axis: str = "task"
+    # jax.profiler trace capture (SURVEY.md §5.1: the reference has only
+    # coarse wall-clock keys; we add real device traces): directory to
+    # write a trace into, and which iteration to capture.
+    profile_dir: Optional[str] = None
+    profile_itr: int = 2
 
     def __post_init__(self):
         self.num_inner_grad_steps = self.algo.num_inner_grad_steps
@@ -134,6 +139,11 @@ class Trainer:
             logger.log(f"\n ---------------- Iteration {itr} ----------------")
             self._rng, it_key = jax.random.split(self._rng)
 
+            profiling = (self.profile_dir is not None
+                         and itr == self.profile_itr)
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
+
             if self.fused:
                 self.train_state, self.opt_state, metrics = self._iteration(
                     self.train_state, self.opt_state, self.hparams, it_key)
@@ -141,6 +151,10 @@ class Trainer:
                 round_stats = None
             else:
                 metrics, round_stats = self._run_phases(it_key)
+
+            if profiling:
+                jax.profiler.stop_trace()
+                logger.log(f"profiler trace written to {self.profile_dir}")
 
             self.total_timesteps_sampled += steps_per_round * n_rounds
             self.hparams = self.algo.update_hparams(self.hparams, metrics)

@@ -1,0 +1,122 @@
+"""Env suite contracts: registry completeness, shapes, reward semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from promp_tpu.envs import ENV_REGISTRY, make_env, normalize
+
+# the reference's first-party env class names (SURVEY.md §2.7) that must
+# resolve in our registry
+REFERENCE_ENVS = [
+    "MetaPointEnv", "MetaPointEnvCorner", "MetaPointEnvWalls",
+    "MetaPointEnvMomentum", "HalfCheetahRandVelEnv",
+    "HalfCheetahRandDirecEnv", "AntRandGoalEnv", "AntRandDirecEnv",
+    "AntRandDirec2DEnv", "HumanoidRandDirecEnv", "HumanoidRandDirec2DEnv",
+    "Walker2DRandVelEnv", "Walker2DRandDirecEnv", "SwimmerRandVelEnv",
+    "SawyerPushEnv", "SawyerPushSimpleEnv", "SawyerDoorEnv",
+    "SawyerPickAndPlaceEnv",
+]
+
+FAST_ENVS = ["MetaPointEnvCorner", "MetaPointEnv", "MetaPointEnvV2",
+             "MetaPointEnvWalls", "MetaPointEnvMomentum", "SawyerPushEnv",
+             "SawyerDoorEnv", "SawyerPickAndPlaceEnv"]
+
+
+def test_registry_covers_reference_envs():
+    missing = [n for n in REFERENCE_ENVS if n not in ENV_REGISTRY]
+    assert not missing, missing
+
+
+@pytest.mark.parametrize("name", FAST_ENVS)
+def test_env_contract(name):
+    env = make_env(name)
+    tasks = env.sample_tasks(jax.random.PRNGKey(0), 3)
+    task0 = jax.tree.map(lambda x: x[0], tasks)
+    state, obs = env.reset(jax.random.PRNGKey(1), task0)
+    assert obs.shape == (env.obs_dim,)
+
+    @jax.jit
+    def steps(state, key):
+        def body(s, k):
+            a = jnp.zeros(env.action_dim)
+            s, o, r, d, info = env.step(s, a, task0, k)
+            return s, (o, r, d)
+        return jax.lax.scan(body, state,
+                            jax.random.split(key, 5))
+
+    _, (obss, rs, ds) = steps(state, jax.random.PRNGKey(2))
+    assert obss.shape == (5, env.obs_dim)
+    assert bool(jnp.all(jnp.isfinite(obss)))
+    assert bool(jnp.all(jnp.isfinite(rs)))
+
+
+class TestPointCornerSemantics:
+    """Reward semantics of the default benchmark env
+    (point_env_2d_corner.py:61-76)."""
+
+    def setup_method(self):
+        self.env = make_env("MetaPointEnvCorner")
+        self.goal = jnp.array([2.0, 2.0])
+
+    def _reward(self, state, action):
+        _, _, r, _, _ = self.env.step(jnp.asarray(state), jnp.asarray(action),
+                                      self.goal, jax.random.PRNGKey(0))
+        return float(r)
+
+    def test_zero_inside_radius(self):
+        # L1 norm < 0.5 after the step -> reward 0
+        assert self._reward([0.1, 0.1], [0.05, 0.05]) == 0.0
+
+    def test_progress_when_goal_nearest(self):
+        # near the goal corner, moving toward it yields positive progress
+        prev = jnp.array([1.5, 1.5])
+        r = self._reward(prev, [0.2, 0.2])
+        expected = float(jnp.linalg.norm(prev - self.goal)
+                         - jnp.linalg.norm(prev + 0.2 - self.goal))
+        np.testing.assert_allclose(r, expected, rtol=1e-5)
+
+    def test_zero_when_other_corner_nearest(self):
+        # close to (-2,-2) while the goal is (2,2): no reward
+        assert self._reward([-1.5, -1.5], [0.1, 0.1]) == 0.0
+
+    def test_action_clipping(self):
+        state = jnp.array([0.0, 0.0])
+        new_state, obs, _, _, _ = self.env.step(
+            state, jnp.array([5.0, -5.0]), self.goal, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(obs), [0.2, -0.2], atol=1e-6)
+
+
+class TestNormalizedEnv:
+    def test_action_rescaling(self):
+        env = normalize(make_env("MetaPointEnvCorner"))
+        # policy-space action +10 maps to env upper bound 0.2
+        state, _ = env.reset(jax.random.PRNGKey(0), jnp.array([2.0, 2.0]))
+        new_state, obs, _, _, _ = env.step(
+            state, jnp.array([10.0, -10.0]), jnp.array([2.0, 2.0]),
+            jax.random.PRNGKey(1))
+        delta = np.asarray(new_state) - np.asarray(state)
+        np.testing.assert_allclose(delta, [0.2, -0.2], atol=1e-6)
+
+    def test_obs_normalization_running_stats(self):
+        env = normalize(make_env("MetaPointEnvCorner"), normalize_obs=True)
+        task = jnp.array([2.0, 2.0])
+        state, obs = env.reset(jax.random.PRNGKey(0), task)
+        assert "obs_mean" in state
+        state2, obs2, _, _, _ = env.step(state, jnp.zeros(2), task,
+                                         jax.random.PRNGKey(1))
+        assert not np.allclose(np.asarray(state2["obs_mean"]),
+                               np.asarray(state["obs_mean"]))
+
+
+class TestRandParams:
+    def test_multiplier_ranges(self):
+        env = make_env("HalfCheetahRandParamsEnv", log_scale_limit=1.0)
+        tasks = env.sample_tasks(jax.random.PRNGKey(0), 50)
+        bm = np.asarray(tasks["body_mass"])
+        assert bm.min() >= 1.5 ** -1.0 - 1e-5
+        assert bm.max() <= 1.5 ** 1.0 + 1e-5
+        dd = np.asarray(tasks["dof_damping"])
+        assert dd.min() >= 1.3 ** -1.0 - 1e-5
+        assert dd.max() <= 1.3 ** 1.0 + 1e-5
