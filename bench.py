@@ -60,19 +60,40 @@ def main():
 
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile (phase-split programs: rollout+process, adapt, outer
-    # — each compiles in seconds; the first device op may additionally wait
-    # on the TPU tunnel's claim grant, which is why warmup is untimed)
+    def run_iter(train_state, opt_state, key):
+        """One full meta-iteration from the trainer's jitted phases,
+        dispatched asynchronously (no host syncs inside the loop)."""
+        keys = jax.random.split(key, trainer.num_inner_grad_steps + 2)
+        tasks = trainer._update_tasks(keys[0])
+        task_params = trainer.policy.replicate(train_state["params"],
+                                               meta_batch_size)
+        all_data = []
+        for step in range(trainer.num_inner_grad_steps + 1):
+            samples = trainer._sample_round(task_params, tasks,
+                                            keys[step + 1], step == 0)
+            samples.pop("stats")
+            all_data.append(samples)
+            if step < trainer.num_inner_grad_steps:
+                task_params = trainer._adapt(
+                    task_params, train_state["step_sizes"], samples)
+        return trainer._outer(train_state, opt_state, all_data,
+                              trainer.hparams)
+
+    # warmup / compile (phase-split programs each compile in seconds; the
+    # first device op may additionally wait on the TPU tunnel claim grant,
+    # which is why warmup is untimed)
+    ts, os_ = trainer.train_state, trainer.opt_state
     for i in range(2):
         rng, k = jax.random.split(rng)
-        trainer._run_phases(k)
+        ts, os_, metrics = run_iter(ts, os_, k)
+    jax.block_until_ready(ts)
 
-    n_timed = 5
+    n_timed = 10
     t0 = time.perf_counter()
     for i in range(n_timed):
         rng, k = jax.random.split(rng)
-        metrics, _ = trainer._run_phases(k)
-    jax.block_until_ready(trainer.train_state)
+        ts, os_, metrics = run_iter(ts, os_, k)
+    jax.block_until_ready(ts)
     elapsed = time.perf_counter() - t0
 
     steps_per_s = steps_per_iter * n_timed / elapsed

@@ -47,6 +47,10 @@ class Engine:
     contact_tangential_damping: float = 2.0e2
     limit_stiffness: float = 4.0e3
     limit_damping: float = 20.0
+    # hard cap on joint velocities: keeps extreme-torque excursions finite
+    # so a diverging env instance cannot poison a whole rollout batch with
+    # NaNs (MuJoCo's constraint solver implicitly bounds these)
+    max_qvel: float = 1.0e3
     dtype: type = jnp.float32
 
     # ------------------------------------------------------------------- fk
@@ -163,10 +167,9 @@ class Engine:
         return arr
 
     # ---------------------------------------------------------- mass matrix
-    def mass_matrix(self, q, mods=None):
+    def _mass_from_kin(self, kin, mods=None):
         m = self.model
         dt = self.dtype
-        kin = self.fk(q)
         ancestor = jnp.asarray(m.ancestor_mask(), dt)
         Jp, Jr = self._body_jacobians(kin, ancestor)
         mass = self._phys(mods, "body_mass", m.body_mass)
@@ -178,6 +181,9 @@ class Engine:
         M = (jnp.einsum("biv,b,biw->vw", Jp, mass, Jp)
              + jnp.einsum("biv,bij,bjw->vw", Jr, I_world, Jr))
         return M + jnp.diag(jnp.asarray(m.dof_armature, dt))
+
+    def mass_matrix(self, q, mods=None):
+        return self._mass_from_kin(self.fk(q), mods)
 
     # ------------------------------------------------------------ potentials
     def gravity_torque(self, q, mods=None):
@@ -191,12 +197,13 @@ class Engine:
         return -jax.grad(potential)(q)
 
     # -------------------------------------------------------------- contact
-    def contact_torque(self, q, qd, mods=None):
+    def contact_torque(self, q, qd, mods=None, kin=None):
         m = self.model
         if len(m.con_body) == 0:
             return jnp.zeros_like(q), jnp.zeros((0, 3), self.dtype)
         dt = self.dtype
-        kin = self.fk(q)
+        if kin is None:
+            kin = self.fk(q)
         ancestor_b = m.ancestor_mask()
         con_anc = jnp.asarray(
             np.stack([ancestor_b[b] for b in m.con_body]), dt)
@@ -258,12 +265,13 @@ class Engine:
         return wrench
 
     # ----------------------------------------------------------- fluid drag
-    def fluid_torque(self, q, qd):
+    def fluid_torque(self, q, qd, kin=None):
         m = self.model
         if m.density == 0.0 and m.viscosity == 0.0:
             return jnp.zeros_like(q)
         dt = self.dtype
-        kin = self.fk(q)
+        if kin is None:
+            kin = self.fk(q)
         ancestor = jnp.asarray(m.ancestor_mask(), dt)
         Jp, Jr = self._body_jacobians(kin, ancestor)
         v = Jp @ qd                                    # (nb, 3) com velocity
@@ -314,24 +322,49 @@ class Engine:
         return tau * limited
 
     def substep(self, q, qd, tau_act, h, mods=None):
+        """One semi-implicit Euler substep.
+
+        Structured for a SMALL compiled program (the scan body dominates
+        whole-rollout compile time): forward kinematics is evaluated once
+        and shared by the mass matrix / contacts / fluid; the
+        Coriolis-quadratic and gravity terms come from ONE reverse pass
+        over the combined scalar 0.5 qd^T M(q) qd - V(q), and Mdot qd from
+        one forward jvp of the VECTOR function q -> M(q) qd.
+        """
         m = self.model
         dt = self.dtype
         damping = self._phys(mods, "dof_damping", m.dof_damping)
         stiffness = jnp.asarray(m.jnt_stiffness, dt)
         springref = jnp.asarray(m.jnt_springref, dt)
+        mass = self._phys(mods, "body_mass", m.body_mass)
+
+        kin = self.fk(q)
+        M = self._mass_from_kin(kin, mods)
+
+        def lagrangian_terms(qq):
+            kin2 = self.fk(qq)
+            M2 = self._mass_from_kin(kin2, mods)
+            V = -jnp.sum(mass * m.gravity * kin2["com"][:, 2])
+            return 0.5 * qd @ M2 @ qd - V
+
+        quad_minus_gradV = jax.grad(lagrangian_terms)(q)
+
+        _, Mdot_qd = jax.jvp(
+            lambda qq: self._mass_from_kin(self.fk(qq), mods) @ qd,
+            (q,), (qd,))
+
         tau = (tau_act
-               + self.gravity_torque(q, mods)
-               + self._bias_torque(q, qd, mods)
-               + self.contact_torque(q, qd, mods)[0]
-               + self.fluid_torque(q, qd)
+               + quad_minus_gradV
+               - Mdot_qd
+               + self.contact_torque(q, qd, mods, kin=kin)[0]
+               + self.fluid_torque(q, qd, kin=kin)
                + self._limit_torque(q, qd)
                - stiffness * (q - springref)
                - damping * qd)
-        M = self.mass_matrix(q, mods)
         # implicit joint damping: (M + h D) qdd = tau  (MuJoCo Euler)
         A = M + h * jnp.diag(damping)
         qdd = jnp.linalg.solve(A, tau)
-        qd_new = qd + h * qdd
+        qd_new = jnp.clip(qd + h * qdd, -self.max_qvel, self.max_qvel)
         q_new = q + h * qd_new
         return q_new, qd_new
 

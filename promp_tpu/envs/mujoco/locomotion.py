@@ -93,6 +93,9 @@ class HalfCheetahBase(LocomotionEnv):
 
     model_name: str = "half_cheetah"
     frame_skip: int = 5
+    # h=0.01 explicit contact is unstable under large random torques
+    # (N(0,1) actions blow up 16/16 over 100 steps; nsub=2 is 0/16)
+    n_substeps: int = 2
     never_done: bool = True
     diagnostics_keys = ("forward_vel", "reward_run", "reward_ctrl")
 

@@ -23,11 +23,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = "task"):
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "task",
+              backend: Optional[str] = None):
     """1-D device mesh over the task axis (the only parallel axis that
-    matters for meta-RL rollouts; envs-per-task stay local)."""
-    devices = jax.devices()
+    matters for meta-RL rollouts; envs-per-task stay local).
+
+    Falls back to the CPU backend when the default backend has fewer than
+    ``n_devices`` devices (the virtual-mesh test setup)."""
+    devices = jax.devices(backend) if backend else jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpu = jax.devices("cpu")
+        except Exception:
+            cpu = []
+        if len(cpu) >= n_devices:
+            devices = cpu
     if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 

@@ -109,8 +109,10 @@ class GaussianMLPPolicy:
         b = params["mean_network/output/bias"]
         mean = out_fn(jnp.dot(x, w, precision=self.precision) + b)
         log_std = params["log_std_network/log_std_var"][0]
-        if floor_std:
-            log_std = jnp.maximum(log_std, self.min_log_std)
+        # floor_std may be a Python bool OR a traced bool — jnp.where keeps
+        # the pre/post-update variants in ONE compiled program
+        log_std = jnp.where(floor_std,
+                            jnp.maximum(log_std, self.min_log_std), log_std)
         log_std = jnp.broadcast_to(log_std, mean.shape)
         return {"mean": mean, "log_std": log_std}
 

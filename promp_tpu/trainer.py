@@ -99,7 +99,9 @@ class Trainer:
                                              all_data, hparams)
 
         self._update_tasks = jax.jit(update_tasks)
-        self._sample_round = jax.jit(sample_round, static_argnames=("floor",))
+        # `floor` rides as a traced bool (policies/gaussian_mlp.py applies
+        # it with jnp.where) so pre/post-update rounds share ONE program
+        self._sample_round = jax.jit(sample_round)
         self._adapt = jax.jit(adapt)
         self._outer = jax.jit(outer)
 

@@ -1,0 +1,153 @@
+"""Trainer orchestration, checkpoint/resume, logger, sweep tests."""
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from promp_tpu.algos import ProMP
+from promp_tpu.envs import MetaPointEnvCorner, normalize
+from promp_tpu.policies.gaussian_mlp import GaussianMLPPolicy
+from promp_tpu.sampling.processor import SampleProcessor
+from promp_tpu.trainer import Trainer
+from promp_tpu.utils import logger
+from promp_tpu.utils.checkpoints import (
+    latest_snapshot, load_snapshot, resume_trainer, save_snapshot)
+
+
+def make_trainer(n_itr=2, seed=0, num_inner_grad_steps=1, **kwargs):
+    env = normalize(MetaPointEnvCorner(reward_type="dense"))
+    policy = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden_sizes=(8, 8))
+    algo = ProMP(policy=policy, num_inner_grad_steps=num_inner_grad_steps,
+                 num_ppo_steps=2, adaptive_inner_kl_penalty=False)
+    return Trainer(algo=algo, env=env, policy=policy,
+                   sample_processor=SampleProcessor(normalize_adv=True),
+                   meta_batch_size=2, rollouts_per_meta_task=2,
+                   max_path_length=8, n_itr=n_itr, seed=seed, **kwargs)
+
+
+class TestTrainer:
+    def test_multi_inner_step(self):
+        trainer = make_trainer(num_inner_grad_steps=2)
+        state = trainer.train()
+        flat = jnp.concatenate([jnp.ravel(v)
+                                for v in state["params"].values()])
+        assert bool(jnp.all(jnp.isfinite(flat)))
+
+    def test_deterministic_given_seed(self):
+        s1 = make_trainer(seed=7).train()
+        s2 = make_trainer(seed=7).train()
+        for k in s1["params"]:
+            np.testing.assert_array_equal(np.asarray(s1["params"][k]),
+                                          np.asarray(s2["params"][k]))
+        s3 = make_trainer(seed=8).train()
+        assert any(not np.allclose(np.asarray(s1["params"][k]),
+                                   np.asarray(s3["params"][k]))
+                   for k in s1["params"])
+
+    def test_snapshot_resume_bit_identical(self, tmp_path):
+        # run 4 iterations straight
+        straight = make_trainer(n_itr=4, seed=3).train()
+
+        # run 2, snapshot, restore into a fresh trainer, run 2 more
+        t1 = make_trainer(n_itr=2, seed=3)
+        t1.train()
+        snap_path = str(tmp_path / "snap.pkl")
+        save_snapshot(snap_path, t1.get_itr_snapshot(1))
+
+        t2 = make_trainer(n_itr=4, seed=3)
+        t2.restore(load_snapshot(snap_path))
+        assert t2.start_itr == 2
+        resumed = t2.train()
+
+        for k in straight["params"]:
+            np.testing.assert_allclose(np.asarray(straight["params"][k]),
+                                       np.asarray(resumed["params"][k]),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_latest_snapshot_discovery(self, tmp_path):
+        d = str(tmp_path)
+        save_snapshot(os.path.join(d, "itr_3.pkl"), {"itr": 3})
+        save_snapshot(os.path.join(d, "itr_10.pkl"), {"itr": 10})
+        assert latest_snapshot(d).endswith("itr_10.pkl")
+        save_snapshot(os.path.join(d, "params.pkl"), {"itr": 11})
+        assert latest_snapshot(d).endswith("params.pkl")
+
+
+class TestLogger:
+    def test_csv_and_json_outputs(self, tmp_path):
+        d = str(tmp_path)
+        logger.configure(dir=d, format_strs=["csv", "json", "log"])
+        logger.logkv("a", 1.0)
+        logger.logkv("b", 2.0)
+        logger.dumpkvs()
+        logger.logkv("a", 3.0)
+        logger.logkv("c", 5.0)  # new key appears mid-run
+        logger.dumpkvs()
+        rows = list(csv.DictReader(open(os.path.join(d, "progress.csv"))))
+        assert float(rows[0]["a"]) == 1.0
+        assert rows[0]["c"] == ""
+        assert float(rows[1]["c"]) == 5.0
+        jlines = [json.loads(l) for l in
+                  open(os.path.join(d, "progress.json"))]
+        assert jlines[1]["a"] == 3.0
+
+    def test_logkv_mean(self, tmp_path):
+        logger.configure(dir=str(tmp_path), format_strs=["csv"])
+        logger.logkv_mean("x", 1.0)
+        logger.logkv_mean("x", 3.0)
+        assert logger._get().name2val["x"] == 2.0
+        logger.dumpkvs()
+
+    def test_snapshot_modes(self, tmp_path):
+        d = str(tmp_path)
+        logger.configure(dir=d, format_strs=["csv"], snapshot_mode="gap",
+                         snapshot_gap=5)
+        logger.save_itr_params(3, {"x": 1})
+        assert not os.path.exists(os.path.join(d, "itr_3.pkl"))
+        logger.save_itr_params(5, {"x": 1})
+        assert os.path.exists(os.path.join(d, "itr_5.pkl"))
+
+    def test_profile_kv(self, tmp_path):
+        logger.configure(dir=str(tmp_path), format_strs=["csv"])
+        with logger.ProfileKV("phase"):
+            pass
+        assert "wait_phase" in logger._get().name2val
+
+
+class TestSweep:
+    def test_variant_product_and_serial_mode(self, tmp_path):
+        from promp_tpu.experiment_utils.run_sweep import (
+            run_sweep, variant_dicts)
+        variants = variant_dicts({"a": [1, 2], "b": ["x"]})
+        assert variants == [{"a": 1, "b": "x"}, {"a": 2, "b": "x"}]
+
+        seen = []
+
+        def fake_run(config, dump_path=None):
+            seen.append((config["a"], dump_path))
+            return config["a"]
+
+        results = run_sweep(fake_run, {"a": [1, 2]}, "exp",
+                            base_config={"c": 9}, mode="serial",
+                            data_dir=str(tmp_path))
+        assert results == [1, 2]
+        assert all("exp" in p for _, p in seen)
+
+
+class TestNativeSink:
+    def test_async_sink_roundtrip(self, tmp_path):
+        from promp_tpu.utils.native import AsyncFileSink, ensure_built
+        path = str(tmp_path / "out.txt")
+        sink = AsyncFileSink(path)
+        for i in range(500):
+            sink.write(f"line{i}\n")
+        sink.flush()
+        sink.close()
+        lines = open(path).read().splitlines()
+        assert len(lines) == 500
+        assert lines[499] == "line499"
