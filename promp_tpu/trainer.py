@@ -176,11 +176,17 @@ class Trainer:
                                             self.meta_batch_size)
         all_data, round_stats = [], []
         t_sampling = t_inner = 0.0
+        diag_keys = tuple(getattr(self.env, "diagnostics_keys", ()) or ())
         for step in range(self.num_inner_grad_steps + 1):
             ts = time.time()
             samples = self._sample_round(task_params, tasks, keys[step + 1],
                                          step == 0)
             stats = samples.pop("stats")
+            # env diagnostics (the analog of MetaEnv.log_diagnostics, e.g.
+            # AvgForwardVel — half_cheetah_rand_vel.py:57-64)
+            for k in diag_keys:
+                if k in samples["env_infos"]:
+                    stats[f"Env-{k}"] = jnp.mean(samples["env_infos"][k])
             jax.block_until_ready(samples)
             t_sampling += time.time() - ts
             round_stats.append(stats)
