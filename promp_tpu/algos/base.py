@@ -16,9 +16,7 @@ initialized to ``inner_lr`` and optionally trainable
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any
-
+from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ the (task, env) batch can run different physics simultaneously.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax

@@ -151,3 +151,63 @@ class TestNativeSink:
         lines = open(path).read().splitlines()
         assert len(lines) == 500
         assert lines[499] == "line499"
+
+
+class TestDiagnostics:
+    def test_env_diagnostics_keys_logged(self):
+        from promp_tpu.envs import make_env
+        env = make_env("HalfCheetahRandVelEnv")
+        policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
+                                   action_dim=env.action_dim,
+                                   hidden_sizes=(8,))
+        algo = ProMP(policy=policy, num_ppo_steps=1,
+                     adaptive_inner_kl_penalty=False)
+        trainer = Trainer(algo=algo, env=env, policy=policy,
+                          sample_processor=SampleProcessor(),
+                          meta_batch_size=2, rollouts_per_meta_task=2,
+                          max_path_length=5, n_itr=1, seed=0)
+        metrics, _ = trainer._run_phases(jax.random.PRNGKey(0))
+        assert "Step_0-Env-forward_vel" in metrics
+        assert "Step_1-Env-reward_run" in metrics
+
+
+class TestCompatSampler:
+    def test_numpy_stream_determinism(self):
+        """The compat sampler must be a pure function of the numpy seed
+        (the reproducibility contract of reference test_samplers.py:116)."""
+        from promp_tpu.sampling.compat_sampler import CompatPointMassSampler
+        policy = GaussianMLPPolicy(obs_dim=2, action_dim=2,
+                                   hidden_sizes=(8,))
+        params = policy.init(jax.random.PRNGKey(0))
+        tp = policy.replicate(params, 3)
+
+        def run():
+            s = CompatPointMassSampler(policy, meta_batch_size=3,
+                                       envs_per_task=2, max_path_length=5,
+                                       seed=22)
+            tasks = s.sample_tasks()
+            return s.obtain_samples(tp, tasks), tasks
+
+        (d1, t1), (d2, t2) = run(), run()
+        for a, b in zip(t1, t2):
+            np.testing.assert_array_equal(a, b)
+        for p1, p2 in zip(d1, d2):
+            np.testing.assert_array_equal(p1["observations"],
+                                          p2["observations"])
+            np.testing.assert_array_equal(p1["rewards"], p2["rewards"])
+
+    def test_reference_rng_order(self):
+        """Task sampling consumes np.random.choice(4, 40) exactly like
+        point_env_2d_corner.py:86-87."""
+        from promp_tpu.sampling.compat_sampler import CompatPointMassSampler
+        policy = GaussianMLPPolicy(obs_dim=2, action_dim=2,
+                                   hidden_sizes=(8,))
+        s = CompatPointMassSampler(policy, meta_batch_size=5,
+                                   envs_per_task=1, max_path_length=2,
+                                   seed=7)
+        tasks = s.sample_tasks()
+        np.random.seed(7)
+        idx = np.random.choice(range(4), size=5)
+        expected = [s.CORNERS[i] for i in idx]
+        for a, b in zip(tasks, expected):
+            np.testing.assert_array_equal(a, b)
