@@ -53,6 +53,41 @@ def conjugate_gradients(f_Ax, b, cg_iters=10, residual_tol=1e-10):
 
 
 @dataclass(frozen=True)
+class FiniteDifferenceHvp:
+    """Finite-difference Hessian-vector products.
+
+    Provided for parity with the reference's default HVP approach
+    (conjugate_gradient_optimizer.py:8-104): perturb the parameters
+    +-eps*x, re-evaluate the constraint gradient, central difference.
+    The exact jvp-of-grad HVP (the optimizer default here) is both cheaper
+    and epsilon-free; this exists for apples-to-apples comparisons.
+    """
+
+    base_eps: float = 1e-5
+    symmetric: bool = True
+
+    def build_eval(self, constraint_fn, params, spec, reg_coeff):
+        flat0, _ = flatten_params(params)
+        grad_fn = jax.grad(constraint_fn)
+
+        def flat_grad(flat):
+            g = grad_fn(unflatten_params(flat, spec))
+            fg, _ = flatten_params(g)
+            return fg
+
+        def hvp(x):
+            eps = self.base_eps
+            plus = flat_grad(flat0 + eps * x)
+            if self.symmetric:
+                minus = flat_grad(flat0 - eps * x)
+                return (plus - minus) / (2 * eps) + reg_coeff * x
+            base = flat_grad(flat0)
+            return (plus - base) / eps + reg_coeff * x
+
+        return hvp
+
+
+@dataclass(frozen=True)
 class ConjugateGradientOptimizer:
     """Config mirrors conjugate_gradient_optimizer.py:124-147 defaults."""
 
@@ -62,6 +97,8 @@ class ConjugateGradientOptimizer:
     max_backtracks: int = 15
     accept_violation: bool = False
     hvp_reg: float = 1e-5  # small damping added to H for CG stability
+    hvp_approach: str = "exact"  # | "finite_difference"
+    fd_base_eps: float = 1e-5
 
     def optimize(self, loss_fn, constraint_fn, params, max_constraint_val):
         """One TRPO step.
@@ -79,11 +116,16 @@ class ConjugateGradientOptimizer:
         grads = jax.grad(loss_fn)(params)
         g, spec = flatten_params(grads)
 
-        def hvp(x):
-            vec = unflatten_params(x, spec)
-            _, hv = jax.jvp(jax.grad(constraint_fn), (params,), (vec,))
-            flat_hv, _ = flatten_params(hv)
-            return flat_hv + (self.reg_coeff + self.hvp_reg) * x
+        if self.hvp_approach == "finite_difference":
+            hvp = FiniteDifferenceHvp(base_eps=self.fd_base_eps).build_eval(
+                constraint_fn, params, spec,
+                self.reg_coeff + self.hvp_reg)
+        else:
+            def hvp(x):
+                vec = unflatten_params(x, spec)
+                _, hv = jax.jvp(jax.grad(constraint_fn), (params,), (vec,))
+                flat_hv, _ = flatten_params(hv)
+                return flat_hv + (self.reg_coeff + self.hvp_reg) * x
 
         descent = conjugate_gradients(hvp, g, self.cg_iters)
         dHd = jnp.dot(descent, hvp(descent))
