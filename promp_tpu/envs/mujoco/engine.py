@@ -15,7 +15,8 @@ so this is a from-scratch engine built for the jit/vmap execution model:
   * joint-limit penalty springs; per-dof linear damping handled implicitly
     in the integrator (the (M + h D) solve mirrors MuJoCo's Euler
     integrator's implicit joint damping)
-  * anisotropic quadratic fluid drag per body capsule (swimmer's medium)
+  * MuJoCo's inertia-box fluid model (viscous + quadratic density drag;
+    the swimmer's medium), validated against qfrc_passive
 
 Everything is a pure function of (q, qd, ctrl) and static model arrays, so
 whole-rollout scans fuse policy + physics into one XLA computation, batched
@@ -265,7 +266,21 @@ class Engine:
         return wrench
 
     # ----------------------------------------------------------- fluid drag
-    def fluid_torque(self, q, qd, kin=None):
+    def fluid_torque(self, q, qd, mods=None, kin=None):
+        """MuJoCo's inertia-box fluid model, exactly.
+
+        Per body: an equivalent box is derived from the diagonal inertia
+        (full side ``box_i = sqrt(6 (I_j + I_k - I_i) / mass)``), velocities
+        are expressed in the body-inertial frame at the COM, and the medium
+        applies (a) viscous drag ``F = -3 pi d mu v``, ``T = -pi d^3 mu w``
+        with ``d = mean(box)`` and (b) quadratic density drag per local axis
+        ``F_i = -rho/2 box_j box_k |v_i| v_i``,
+        ``T_i = -rho box_i (box_j^4 + box_k^4)/64 |w_i| w_i``.
+        Validated bitwise-style against mj_forward's qfrc_passive on the
+        swimmer MJCF (tests/test_engine.py). This is the medium of the
+        SwimmerRandVel env (reference swimmer_rand_vel.py; density/viscosity
+        from the MJCF <option>). Massless bodies are skipped as in MuJoCo.
+        """
         m = self.model
         if m.density == 0.0 and m.viscosity == 0.0:
             return jnp.zeros_like(q)
@@ -276,29 +291,35 @@ class Engine:
         Jp, Jr = self._body_jacobians(kin, ancestor)
         v = Jp @ qd                                    # (nb, 3) com velocity
         w = Jr @ qd                                    # (nb, 3) angular vel
-        R = jax.vmap(quat_to_mat)(kin["body_quat"])
-        axis_w = jnp.einsum("bij,bj->bi", R,
-                            jnp.asarray(m.geom_axis, dt))
-        r = jnp.asarray(m.geom_radius, dt)
-        h = jnp.asarray(m.geom_halflen, dt)
-        v_ax = jnp.sum(v * axis_w, axis=-1, keepdims=True) * axis_w
-        v_perp = v - v_ax
-        area_perp = 4.0 * r * h + np.pi * r**2        # projected side area
-        area_ax = np.pi * r**2
-        rho = m.density
-        drag = -(0.5 * rho * 1.2 * area_perp[:, None]
-                 * jnp.linalg.norm(v_perp, axis=-1, keepdims=True) * v_perp
-                 + 0.5 * rho * 0.4 * area_ax[:, None]
-                 * jnp.abs(jnp.sum(v * axis_w, -1, keepdims=True)) * v_ax)
-        # linear (Stokes-like) viscosity + angular drag: viscous term plus a
-        # quadratic term from the medium density (dominant for the swimmer)
-        visc = m.viscosity
-        drag = drag - 6.0 * np.pi * visc * r[:, None] * v
-        ang = (-8.0 * np.pi * visc * (r**3)[:, None] * w
-               - (rho * 0.3 * (r * h**4))[:, None] * w
-               * jnp.linalg.norm(w, axis=-1, keepdims=True))
-        return (jnp.einsum("biv,bi->v", Jp, drag)
-                + jnp.einsum("biv,bi->v", Jr, ang))
+        R_b = jax.vmap(quat_to_mat)(kin["body_quat"])
+        R_i = jax.vmap(quat_to_mat)(jnp.asarray(m.body_iquat, dt))
+        R = R_b @ R_i                                  # inertial frame in world
+        # velocities in the local (inertial) frame: R^T v
+        lv = jnp.einsum("bji,bj->bi", R, v)
+        lw = jnp.einsum("bji,bj->bi", R, w)
+        mass = self._phys(mods, "body_mass", m.body_mass)
+        inertia = self._phys(mods, "body_inertia", m.body_inertia)  # (nb,3)
+        valid = (mass > 1e-12).astype(dt)[:, None]
+        safe_mass = jnp.maximum(mass, 1e-12)[:, None]
+        diff = jnp.sum(inertia, -1, keepdims=True) - 2.0 * inertia
+        box = jnp.sqrt(jnp.maximum(diff, 1e-15) / safe_mass * 6.0)  # (nb,3)
+        lfrc_lin = jnp.zeros_like(lv)
+        lfrc_ang = jnp.zeros_like(lw)
+        if m.viscosity > 0.0:
+            diam = jnp.mean(box, axis=-1, keepdims=True)
+            lfrc_ang = lfrc_ang - np.pi * diam**3 * m.viscosity * lw
+            lfrc_lin = lfrc_lin - 3.0 * np.pi * diam * m.viscosity * lv
+        if m.density > 0.0:
+            box1 = jnp.roll(box, -1, axis=-1)          # box[(i+1)%3]
+            box2 = jnp.roll(box, -2, axis=-1)          # box[(i+2)%3]
+            lfrc_lin = lfrc_lin - (0.5 * m.density * box1 * box2
+                                   * jnp.abs(lv) * lv)
+            lfrc_ang = lfrc_ang - (m.density * box * (box1**4 + box2**4)
+                                   / 64.0 * jnp.abs(lw) * lw)
+        force = jnp.einsum("bij,bj->bi", R, lfrc_lin) * valid
+        torque = jnp.einsum("bij,bj->bi", R, lfrc_ang) * valid
+        return (jnp.einsum("biv,bi->v", Jp, force)
+                + jnp.einsum("biv,bi->v", Jr, torque))
 
     # -------------------------------------------------------------- dynamics
     def _bias_torque(self, q, qd, mods=None):
@@ -357,7 +378,7 @@ class Engine:
                + quad_minus_gradV
                - Mdot_qd
                + self.contact_torque(q, qd, mods, kin=kin)[0]
-               + self.fluid_torque(q, qd, kin=kin)
+               + self.fluid_torque(q, qd, mods, kin=kin)
                + self._limit_torque(q, qd)
                - stiffness * (q - springref)
                - damping * qd)

@@ -70,6 +70,32 @@ class TestPlanarDynamicsVsMujoco:
         np.testing.assert_allclose(ours, -d.qfrc_bias, atol=2e-4 * scale)
 
 
+def test_fluid_forces_match_qfrc_passive():
+    """Inertia-box fluid model == MuJoCo qfrc_passive on the swimmer MJCF.
+
+    Swimmer's <option> sets density=4000, viscosity=0.1; qfrc_passive =
+    fluid + joint dampers there (no springs), so ours must reproduce
+    fluid_torque - damping*qvel."""
+    model = get_model("swimmer")
+    assert model.density > 0 and model.viscosity > 0
+    eng = Engine(model)
+    m = _mj_model("swimmer")
+    d = mujoco.MjData(m)
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        d.qpos[:] = m.qpos0 + rng.uniform(-0.3, 0.3, m.nq)
+        d.qvel[:] = rng.randn(m.nv) * 1.5
+        mujoco.mj_forward(m, d)
+        ours = np.asarray(
+            eng.fluid_torque(jnp.asarray(d.qpos, jnp.float32),
+                             jnp.asarray(d.qvel, jnp.float32))
+            - jnp.asarray(model.dof_damping, jnp.float32)
+            * jnp.asarray(d.qvel, jnp.float32))
+        scale = max(1.0, np.abs(d.qfrc_passive).max())
+        np.testing.assert_allclose(ours, d.qfrc_passive,
+                                   atol=2e-4 * scale, rtol=2e-4)
+
+
 @pytest.mark.parametrize("name,nsub", [("half_cheetah", 1), ("walker2d", 1),
                                        ("hopper", 1), ("ant", 8)])
 def test_rollout_stability(name, nsub):
