@@ -164,6 +164,7 @@ class Trainer:
             self._log_metrics(itr, metrics, itr_start)
             logger.save_itr_params(itr, self.get_itr_snapshot(itr))
             logger.dumpkvs()
+        logger.sync_snapshots()
         logger.log("Training finished")
         return self.train_state
 

@@ -156,6 +156,8 @@ class Logger:
         self.output_formats = output_formats
         self.snapshot_mode = snapshot_mode
         self.snapshot_gap = snapshot_gap
+        self._ckpt_writer = None  # lazily-built AsyncCheckpointWriter
+        self._last_ckpt_seq = 0
 
     def logkv(self, key, val):
         self.name2val[key] = val
@@ -202,12 +204,28 @@ class Logger:
             return
         else:
             raise ValueError(f"Invalid snapshot mode {mode!r}")
-        with open(path, "wb") as f:
-            pickle.dump(params, f)
+        # serialize on the caller, hand bytes to the async durable writer
+        # (runtime/ckptwriter.cpp): fsync + atomic rename off-thread, so
+        # snapshot IO never stalls the device-feeding loop (the reference
+        # writes joblib pickles inline, logger.py:376-396)
+        blob = pickle.dumps(params, protocol=pickle.HIGHEST_PROTOCOL)
+        if self._ckpt_writer is None:
+            from promp_tpu.utils.native import AsyncCheckpointWriter
+            self._ckpt_writer = AsyncCheckpointWriter()
+        self._last_ckpt_seq = self._ckpt_writer.submit(path, blob)
+
+    def sync_snapshots(self, timeout_s=300.0):
+        """Block until every submitted snapshot is durable on disk."""
+        if self._ckpt_writer is not None:
+            return self._ckpt_writer.wait(self._last_ckpt_seq, timeout_s)
+        return True
 
     def close(self):
         for fmt in self.output_formats:
             fmt.close()
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.close()
+            self._ckpt_writer = None
 
 
 def configure(dir=None, format_strs=None, snapshot_mode="last",
@@ -266,6 +284,10 @@ def log(*args, level=INFO):
 
 def save_itr_params(itr, params):
     _get().save_itr_params(itr, params)
+
+
+def sync_snapshots(timeout_s=300.0):
+    return _get().sync_snapshots(timeout_s)
 
 
 def get_dir():

@@ -108,8 +108,10 @@ class TestLogger:
         logger.configure(dir=d, format_strs=["csv"], snapshot_mode="gap",
                          snapshot_gap=5)
         logger.save_itr_params(3, {"x": 1})
+        logger.sync_snapshots()
         assert not os.path.exists(os.path.join(d, "itr_3.pkl"))
         logger.save_itr_params(5, {"x": 1})
+        logger.sync_snapshots()
         assert os.path.exists(os.path.join(d, "itr_5.pkl"))
 
     def test_profile_kv(self, tmp_path):
@@ -151,6 +153,44 @@ class TestNativeSink:
         lines = open(path).read().splitlines()
         assert len(lines) == 500
         assert lines[499] == "line499"
+
+
+class TestNativeCheckpointWriter:
+    def test_async_durable_roundtrip(self, tmp_path):
+        import pickle
+
+        from promp_tpu.utils.native import AsyncCheckpointWriter
+        w = AsyncCheckpointWriter()
+        path = str(tmp_path / "params.pkl")
+        # several writes to the same path: FIFO order, last wins
+        seqs = [w.submit(path, pickle.dumps({"itr": i})) for i in range(5)]
+        assert w.wait(seqs[-1])
+        assert pickle.load(open(path, "rb")) == {"itr": 4}
+        assert w.errors() == 0
+        w.close()
+
+    def test_failed_write_reported(self, tmp_path):
+        from promp_tpu.utils.native import AsyncCheckpointWriter
+        w = AsyncCheckpointWriter()
+        if not w.native:
+            pytest.skip("native ckptwriter unavailable")
+        seq = w.submit(str(tmp_path / "no_such_dir" / "x.pkl"), b"data")
+        assert w._lib.ckpt_wait(w._handle, seq, 5000) == -1
+        assert w.errors() == 1
+        w.close()
+
+    def test_logger_snapshot_uses_async_writer(self, tmp_path):
+        import pickle
+
+        from promp_tpu.utils import logger
+        logger.configure(dir=str(tmp_path), format_strs=[],
+                         snapshot_mode="last")
+        logger.save_itr_params(3, {"itr": 3, "x": 1})
+        assert logger.sync_snapshots()
+        snap = pickle.load(open(tmp_path / "params.pkl", "rb"))
+        assert snap == {"itr": 3, "x": 1}
+        # no torn tmp files left behind
+        assert [p for p in tmp_path.iterdir() if ".tmp" in p.name] == []
 
 
 class TestDiagnostics:
