@@ -234,3 +234,48 @@ class TestShardedEquivalence:
         np.testing.assert_array_equal(
             np.asarray(traj_local["rewards"]),
             np.asarray(traj_sharded["rewards"]))
+
+    def test_single_vs_mesh_full_train_step(self):
+        """A FULL ProMP meta-iteration (rollouts + inner adapt + 5 PPO
+        epochs with second-order grads) over the 8-device mesh must match
+        the single-device result — reductions reorder floats, so allclose
+        rather than bitwise."""
+        from promp_tpu.algos.promp import ProMP
+        from promp_tpu.envs import MetaPointEnvCorner, normalize
+        from promp_tpu.parallel.mesh import make_mesh
+        from promp_tpu.policies.gaussian_mlp import GaussianMLPPolicy
+        from promp_tpu.sampling.processor import SampleProcessor
+        from promp_tpu.trainer import Trainer
+
+        def build(mesh):
+            env = normalize(MetaPointEnvCorner(reward_type="dense"))
+            policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
+                                       action_dim=env.action_dim,
+                                       hidden_sizes=(16, 16))
+            algo = ProMP(policy=policy, num_inner_grad_steps=1,
+                         num_ppo_steps=2, adaptive_inner_kl_penalty=False)
+            return Trainer(algo=algo, env=env, policy=policy,
+                           sample_processor=SampleProcessor(
+                               normalize_adv=True),
+                           meta_batch_size=8, rollouts_per_meta_task=2,
+                           max_path_length=5, n_itr=1, seed=0, fused=True,
+                           mesh=mesh)
+
+        rng = jax.random.PRNGKey(0)
+        t_local = build(None)
+        ts_local, _, m_local = t_local._iteration(
+            t_local.train_state, t_local.opt_state, t_local.hparams, rng)
+        t_mesh = build(make_mesh(8))
+        ts_mesh, _, m_mesh = t_mesh._iteration(
+            t_mesh.train_state, t_mesh.opt_state, t_mesh.hparams, rng)
+
+        # reductions reorder float adds and Adam divides by sqrt(v)+eps,
+        # which amplifies that noise for near-zero second moments — so the
+        # bound is loose in relative terms but tight in absolute ones
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
+            ts_local, ts_mesh)
+        np.testing.assert_allclose(float(m_local["LossAfter"]),
+                                   float(m_mesh["LossAfter"]),
+                                   rtol=1e-4, atol=1e-6)
