@@ -82,6 +82,14 @@ class TaskEnv:
     never_done: bool = False
     stochastic_step: bool = False
 
+    def reset_carry(self, prev_state, key, task):
+        """Reset for in-scan auto-resets, given the terminated episode's
+        final state. Default ignores it; wrappers carrying running
+        statistics (NormalizedEnv's EMA obs/reward stats, reference
+        normalized_env.py:37,91 — instance attrs that survive resets)
+        override this to persist them across episode boundaries."""
+        return self.reset(key, task)
+
     @property
     def obs_dim(self):
         return self.observation_space.dim

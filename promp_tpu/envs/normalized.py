@@ -77,6 +77,22 @@ class NormalizedEnv(TaskEnv):
             state, obs = self._norm_obs(state, obs)
         return state, obs
 
+    def reset_carry(self, prev_state, key, task):
+        """Auto-reset preserving EMA stats: the reference's ``_obs_mean`` /
+        ``_obs_var`` / ``_reward_mean`` are instance attributes NOT touched
+        by ``reset`` (normalized_env.py:37,91), so running stats survive
+        episode boundaries. Mirror that by carrying them from the
+        terminated episode's state into the fresh one."""
+        stats = self.normalize_obs or self.normalize_reward
+        if not stats:
+            return self.reset(key, task)
+        prev_inner = prev_state["inner"]
+        inner_state, obs = self.env.reset_carry(prev_inner, key, task)
+        state = dict(prev_state, inner=inner_state)
+        if self.normalize_obs:
+            state, obs = self._norm_obs(state, obs)
+        return state, obs
+
     def step(self, state, action, task, key):
         lb = self.env.action_space.low_array()
         ub = self.env.action_space.high_array()

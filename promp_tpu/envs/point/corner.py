@@ -17,10 +17,14 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from promp_tpu.envs.base import Box, TaskEnv, register_env
 
-CORNERS = jnp.array([[-2.0, -2.0], [2.0, -2.0], [-2.0, 2.0], [2.0, 2.0]])
+# numpy (not jnp) so importing the package never forces JAX backend
+# initialization; converted lazily inside traced code
+CORNERS = np.array([[-2.0, -2.0], [2.0, -2.0], [-2.0, 2.0], [2.0, 2.0]],
+                   np.float32)
 
 
 @register_env("MetaPointEnvCorner")
@@ -36,7 +40,7 @@ class MetaPointEnvCorner(TaskEnv):
 
     def sample_tasks(self, key, n_tasks):
         idx = jax.random.randint(key, (n_tasks,), 0, 4)
-        return CORNERS[idx]
+        return jnp.asarray(CORNERS)[idx]
 
     def reset(self, key, task):
         state = jax.random.uniform(key, (2,), jnp.float32, -0.2, 0.2)

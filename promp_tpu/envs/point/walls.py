@@ -15,10 +15,13 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from promp_tpu.envs.base import Box, TaskEnv, register_env
 
-CORNERS = jnp.array([[-2.0, -2.0], [2.0, -2.0], [-2.0, 2.0], [2.0, 2.0]])
+# numpy so importing the package never forces JAX backend initialization
+CORNERS = np.array([[-2.0, -2.0], [2.0, -2.0], [-2.0, 2.0], [2.0, 2.0]],
+                   np.float32)
 
 
 @register_env("MetaPointEnvWalls")
@@ -34,7 +37,7 @@ class MetaPointEnvWalls(TaskEnv):
 
     def sample_tasks(self, key, n_tasks):
         kg, k1, k2 = jax.random.split(key, 3)
-        goals = CORNERS[jax.random.randint(kg, (n_tasks,), 0, 4)]
+        goals = jnp.asarray(CORNERS)[jax.random.randint(kg, (n_tasks,), 0, 4)]
         gaps_1 = jax.random.normal(k1, (n_tasks, 2))
         gaps_1 = gaps_1 / jnp.linalg.norm(gaps_1, axis=1, keepdims=True)
         gaps_2 = jax.random.normal(k2, (n_tasks, 2))

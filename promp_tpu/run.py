@@ -14,6 +14,61 @@ import os
 
 import numpy as np
 
+
+def ensure_backend():
+    """Make sure a JAX backend actually initializes before building the
+    stack.
+
+    Hosts may pin an experimental platform via JAX_PLATFORMS /
+    sitecustomize that is not registered in every process (round-1 ant
+    validation run died on exactly this: ``RuntimeError: Backend 'axon' is
+    not in the list of known backends``). Fall back to autodetection, then
+    to CPU, so run scripts never crash on backend selection.
+    """
+    import jax
+    # Hosts can pin a platform via sitecustomize, which overrides the
+    # JAX_PLATFORMS env var; re-assert the user's explicit choice through
+    # the config so e.g. JAX_PLATFORMS=cpu subprocess runs actually get CPU
+    # instead of waiting minutes on a remote-TPU claim.
+    envp = os.environ.get("JAX_PLATFORMS", "")
+    if envp:
+        try:
+            jax.config.update("jax_platforms", envp)
+            jax.devices()
+            return
+        except RuntimeError:
+            pass
+    try:
+        jax.devices()
+        return
+    except RuntimeError:
+        pass
+    for platforms in ("", "tpu", "cpu"):
+        try:
+            jax.config.update("jax_platforms", platforms or None)
+            jax.devices()
+            return
+        except RuntimeError:
+            continue
+    raise RuntimeError("no usable JAX backend (tried autodetect, tpu, cpu)")
+
+
+def enable_compilation_cache(path=None):
+    """Persistent XLA compilation cache: a fresh process reuses compiled
+    programs from earlier runs, fixing the reference-config cold start
+    (first compile of the big rollout programs takes minutes under the
+    remote-TPU tunnel)."""
+    import jax
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 from promp_tpu.algos import DICEMAML, VPG_DICEMAML, ProMP, TRPOMAML, VPGMAML
 from promp_tpu.envs import make_env, normalize
 from promp_tpu.policies.gaussian_mlp import GaussianMLPPolicy
@@ -145,6 +200,8 @@ def build(config):
 def run_experiment(config, dump_path=None):
     """Configure logging, dump provenance, train — the reference scripts'
     main() (pro-mp_run_point_mass.py:129-138)."""
+    ensure_backend()
+    enable_compilation_cache()
     logger.configure(
         dir=dump_path,
         format_strs=config.get("log_formats", ["stdout", "log", "csv"]),

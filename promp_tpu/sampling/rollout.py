@@ -100,10 +100,17 @@ def rollout(env, policy, params, tasks, key, n_envs, horizon, floor_std=True):
             next_state, next_obs = new_state, new_obs
             next_t_seg = t_seg + 1
         else:
-            # auto-reset terminated envs (vectorized_env_executor.py:44-50)
+            # auto-reset terminated envs (vectorized_env_executor.py:44-50),
+            # carrying running stats through episode boundaries
+            # (normalized_env.py keeps EMA stats across resets)
             rk = jax.random.split(k_reset, n_tasks * n_envs).reshape(
                 n_tasks, n_envs, -1)
-            re_state, re_obs = reset_fn(rk, tasks)
+            rc = getattr(env, "reset_carry", None) or (
+                lambda s, k, t: env.reset(k, t))
+            reset_carry_fn = jax.vmap(
+                lambda ss, ks, t: jax.vmap(
+                    rc, in_axes=(0, 0, None))(ss, ks, t))
+            re_state, re_obs = reset_carry_fn(new_state, rk, tasks)
             next_state = _tree_where(dones_f, re_state, new_state)
             next_obs = jnp.where(dones_f[..., None], re_obs, new_obs)
             next_t_seg = jnp.where(dones_f, 0, t_seg + 1)

@@ -77,11 +77,13 @@ class TestRunExperiment:
         d = str(tmp_path / "exp")
         config = dict(TINY, algo="ProMP", num_promp_steps=2)
         run_experiment(config, dump_path=d)
-        params = json.load(open(os.path.join(d, "params.json")))
+        with open(os.path.join(d, "params.json")) as f:
+            params = json.load(f)
         assert params["algo"] == "ProMP"
         assert params["meta_batch_size"] == 2
         csv_path = os.path.join(d, "progress.csv")
-        header = open(csv_path).readline().strip().split(",")
+        with open(csv_path) as f:
+            header = f.readline().strip().split(",")
         # the reference's per-iteration keys (meta_trainer.py:131-142,
         # samplers/base.py:135-149)
         for key in ("Itr", "n_timesteps", "Time-Sampling", "Time-OuterStep",
@@ -105,7 +107,8 @@ class TestRunScriptSmoke:
         cfg = dict(TINY, algo="ProMP", num_promp_steps=2)
         cfg["hidden_sizes"] = list(cfg["hidden_sizes"])
         cfg_path = str(tmp_path / "cfg.json")
-        json.dump(cfg, open(cfg_path, "w"))
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
         dump = str(tmp_path / "out")
         env = dict(os.environ)
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
