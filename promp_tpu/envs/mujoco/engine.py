@@ -323,11 +323,91 @@ class Engine:
 
     # -------------------------------------------------------------- dynamics
     def _bias_torque(self, q, qd, mods=None):
-        """Coriolis/centrifugal: -(Mdot qd) + 1/2 d/dq (qd^T M qd)."""
+        """Coriolis/centrifugal: -(Mdot qd) + 1/2 d/dq (qd^T M qd).
+
+        Autodiff formulation, kept as an independent oracle for the RNEA
+        fast path (tests assert rnea_bias == -(_bias_torque +
+        gravity_torque)); the hot path uses rnea_bias."""
         _, Mdot = jax.jvp(lambda qq: self.mass_matrix(qq, mods), (q,), (qd,))
         quad = jax.grad(
             lambda qq: 0.5 * qd @ self.mass_matrix(qq, mods) @ qd)(q)
         return -(Mdot @ qd) + quad
+
+    def rnea_bias(self, q, qd, mods=None, kin=None):
+        """Bias forces C(q,qd)qd + g(q) — MuJoCo's qfrc_bias — via a
+        recursive-Newton-Euler velocity pass (qdd = 0, gravity folded in as
+        base acceleration), replacing the substep's former double autodiff
+        of the mass matrix (one reverse + one forward pass over full FK per
+        substep). All quantities live in world-aligned Plücker coordinates
+        re-centered at the root body to keep float32 lever arms small.
+
+        tau enters the equation of motion as M qdd = tau_applied - bias,
+        matching mj_forward's qfrc_bias sign.
+        """
+        m = self.model
+        dt = self.dtype
+        if kin is None:
+            kin = self.fk(q)
+        origin = kin["body_pos"][0]
+        anchor = kin["dof_anchor"] - origin            # (nv, 3)
+        com = kin["com"] - origin                      # (nb, 3)
+        axis = kin["dof_axis"]                         # (nv, 3)
+        is_hinge = jnp.asarray(
+            np.array([1.0 if t == HINGE else 0.0 for t in m.jnt_type]), dt)
+
+        # motion subspace S_j = (w, v_O): hinge (a, p x a), slide (0, a)
+        Sw = axis * is_hinge[:, None]
+        Sv = jnp.where(is_hinge[:, None] > 0.0,
+                       jnp.cross(anchor, axis), axis)
+        S = jnp.concatenate([Sw, Sv], axis=-1)         # (nv, 6)
+        Sqd = S * qd[:, None]
+
+        def cross_motion(V, U):
+            w1, v1 = V[..., :3], V[..., 3:]
+            w2, v2 = U[..., :3], U[..., 3:]
+            return jnp.concatenate(
+                [jnp.cross(w1, w2), jnp.cross(w1, v2) + jnp.cross(v1, w2)],
+                axis=-1)
+
+        def cross_force(V, F):
+            w, v = V[..., :3], V[..., 3:]
+            n, f = F[..., :3], F[..., 3:]
+            return jnp.concatenate(
+                [jnp.cross(w, n) + jnp.cross(v, f), jnp.cross(w, f)],
+                axis=-1)
+
+        # Sdot_j = V_parent(j) x_m S_j  (S is fixed in its parent frame)
+        dof_anc = jnp.asarray(m.dof_ancestor_strict(), dt)
+        Vminus = dof_anc @ Sqd                         # (nv, 6)
+        Sdot_qd = cross_motion(Vminus, S) * qd[:, None]
+
+        body_anc = jnp.asarray(m.ancestor_mask(), dt)
+        Vb = body_anc @ Sqd                            # (nb, 6)
+        Ab = body_anc @ Sdot_qd                        # (nb, 6) bias accel
+        # gravity trick: base acceleration = -a_g = (0, (0,0,-gravity))
+        Ab = Ab - jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, m.gravity], dt)
+
+        mass = self._phys(mods, "body_mass", m.body_mass)
+        inertia = self._phys(mods, "body_inertia", m.body_inertia)
+        R_b = jax.vmap(quat_to_mat)(kin["body_quat"])
+        R_i = jax.vmap(quat_to_mat)(jnp.asarray(m.body_iquat, dt))
+        R = R_b @ R_i
+        I_c = R @ (inertia[:, :, None] * jnp.swapaxes(R, 1, 2))  # (nb,3,3)
+
+        def inertia_apply(V):
+            w, v = V[..., :3], V[..., 3:]
+            v_c = v + jnp.cross(w, com)
+            f = mass[:, None] * v_c
+            n = jnp.einsum("bij,bj->bi", I_c, w) + jnp.cross(com, f)
+            return jnp.concatenate([n, f], axis=-1)
+
+        Fb = inertia_apply(Ab) + cross_force(Vb, inertia_apply(Vb))
+        # tau_j = S_j . sum_{b in subtree(j)} F_b ; pairing (w,v).(n,f)
+        tau = jnp.einsum("jc,bc,bj->j", S, Fb, body_anc)
+        # armature: rotor inertia is diagonal in dof space, so its only
+        # bias contribution is gravity-free and velocity-diagonal => none
+        # for qdd = 0 (matches MuJoCo: armature enters M only)
+        return tau
 
     def _limit_torque(self, q, qd):
         m = self.model
@@ -347,44 +427,31 @@ class Engine:
 
         Structured for a SMALL compiled program (the scan body dominates
         whole-rollout compile time): forward kinematics is evaluated once
-        and shared by the mass matrix / contacts / fluid; the
-        Coriolis-quadratic and gravity terms come from ONE reverse pass
-        over the combined scalar 0.5 qd^T M(q) qd - V(q), and Mdot qd from
-        one forward jvp of the VECTOR function q -> M(q) qd.
+        and shared by the mass matrix / contacts / fluid / RNEA; the
+        Coriolis + gravity bias comes from the O(nb) rnea_bias velocity
+        pass (no autodiff in the hot path).
         """
         m = self.model
         dt = self.dtype
         damping = self._phys(mods, "dof_damping", m.dof_damping)
         stiffness = jnp.asarray(m.jnt_stiffness, dt)
         springref = jnp.asarray(m.jnt_springref, dt)
-        mass = self._phys(mods, "body_mass", m.body_mass)
 
         kin = self.fk(q)
         M = self._mass_from_kin(kin, mods)
 
-        def lagrangian_terms(qq):
-            kin2 = self.fk(qq)
-            M2 = self._mass_from_kin(kin2, mods)
-            V = -jnp.sum(mass * m.gravity * kin2["com"][:, 2])
-            return 0.5 * qd @ M2 @ qd - V
-
-        quad_minus_gradV = jax.grad(lagrangian_terms)(q)
-
-        _, Mdot_qd = jax.jvp(
-            lambda qq: self._mass_from_kin(self.fk(qq), mods) @ qd,
-            (q,), (qd,))
-
         tau = (tau_act
-               + quad_minus_gradV
-               - Mdot_qd
+               - self.rnea_bias(q, qd, mods, kin=kin)
                + self.contact_torque(q, qd, mods, kin=kin)[0]
                + self.fluid_torque(q, qd, mods, kin=kin)
                + self._limit_torque(q, qd)
                - stiffness * (q - springref)
                - damping * qd)
-        # implicit joint damping: (M + h D) qdd = tau  (MuJoCo Euler)
+        # implicit joint damping: (M + h D) qdd = tau  (MuJoCo Euler);
+        # A is SPD, so solve via Cholesky
         A = M + h * jnp.diag(damping)
-        qdd = jnp.linalg.solve(A, tau)
+        chol = jnp.linalg.cholesky(A)
+        qdd = jax.scipy.linalg.cho_solve((chol, True), tau)
         qd_new = jnp.clip(qd + h * qdd, -self.max_qvel, self.max_qvel)
         q_new = q + h * qd_new
         return q_new, qd_new

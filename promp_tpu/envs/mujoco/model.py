@@ -114,6 +114,26 @@ class ChainModel:
                     mask[b, j] = 1.0
         return mask
 
+    def dof_ancestor_strict(self):
+        """(nv, nv) 1.0 where dof k is a STRICT ancestor of dof j — i.e. k
+        is applied before j on j's kinematic chain (dofs of ancestor bodies,
+        plus earlier dofs of j's own body, which apply in declaration
+        order). Used by the RNEA bias pass: the motion subspace of joint j
+        is carried by the frame built from exactly these dofs."""
+        body_anc = self.ancestor_mask()
+        mask = np.zeros((self.nv, self.nv), np.float32)
+        for j in range(self.nv):
+            b = self.jnt_body[j]
+            parent = self.body_parent[b]
+            for k in range(self.nv):
+                kb = self.jnt_body[k]
+                if kb == b:
+                    if k < j:
+                        mask[j, k] = 1.0
+                elif parent >= 0 and body_anc[parent, k]:
+                    mask[j, k] = 1.0
+        return mask
+
 
 def _mj_quat_to_np(q):
     return np.asarray(q, np.float64)

@@ -69,6 +69,132 @@ class TestPlanarDynamicsVsMujoco:
         scale = max(1.0, np.abs(d.qfrc_bias).max())
         np.testing.assert_allclose(ours, -d.qfrc_bias, atol=2e-4 * scale)
 
+    def test_rnea_bias_matches(self, name):
+        """The hot-path RNEA bias == mj_forward's qfrc_bias directly."""
+        model, eng, m, d, qpos, qvel = self._setup(name)
+        ours = np.asarray(eng.rnea_bias(jnp.asarray(qpos, jnp.float32),
+                                        jnp.asarray(qvel, jnp.float32)))
+        scale = max(1.0, np.abs(d.qfrc_bias).max())
+        np.testing.assert_allclose(ours, d.qfrc_bias, atol=2e-4 * scale)
+
+
+def _quat_to_R(quat):
+    w, x, y, z = quat
+    return np.array([[1 - 2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+                     [2*(x*y+w*z), 1 - 2*(x*x+z*z), 2*(y*z-w*x)],
+                     [2*(x*z-w*y), 2*(y*z+w*x), 1 - 2*(x*x+y*y)]])
+
+
+def _eng_to_mj(model, m, eng, q, qd):
+    """Map engine coords -> (qpos, qvel, T) with qvel = T @ qd.
+
+    The engine decomposes a free joint into 3 world slides + 3 intrinsic
+    xyz Euler hinges (model.py); MuJoCo's free joint uses world linear
+    velocity + BODY-LOCAL angular velocity. The velocity map's angular
+    block is R^T A where A's columns are the Euler hinge world axes from
+    the engine's own FK.
+    """
+    kin = eng.fk(jnp.asarray(q))
+    qpos = np.array(m.qpos0)
+    T = np.zeros((m.nv, model.nv))
+    e = 0
+    for j in range(m.njnt):
+        jtype = int(m.jnt_type[j])
+        qadr = int(m.jnt_qposadr[j])
+        dadr = int(m.jnt_dofadr[j])
+        if jtype == int(mujoco.mjtJoint.mjJNT_FREE):
+            qpos[qadr:qadr + 3] = q[e:e + 3]
+            body = int(model.jnt_body[e + 3])
+            quat = np.asarray(kin["body_quat"][body])
+            qpos[qadr + 3:qadr + 7] = quat
+            T[dadr:dadr + 3, e:e + 3] = np.eye(3)
+            A = np.stack([np.asarray(kin["dof_axis"][e + 3 + k])
+                          for k in range(3)], axis=1)
+            T[dadr + 3:dadr + 6, e + 3:e + 6] = _quat_to_R(quat).T @ A
+            e += 6
+        else:
+            qpos[qadr] = q[e]
+            T[dadr, e] = 1.0
+            e += 1
+    return qpos, T @ np.asarray(qd), T
+
+
+@pytest.mark.parametrize("name", ["ant", "humanoid"])
+class Test3DDynamicsVsMujoco:
+    """Free-root (3 slides + 3 Euler hinges) dynamics vs MuJoCo.
+
+    Engine generalized coordinates differ from MuJoCo's for the free root
+    (Euler rates vs body-local angular velocity), so comparisons go through
+    the velocity map T (qvel_mj = T qd_eng): M_eng == T^T M_mj T and
+    bias_eng == T^T (M_mj (Tdot qd) + qfrc_bias). Nonzero root orientation
+    states are exercised (seed-randomized qpos includes the Euler dofs).
+    """
+
+    def _setup(self, name, seed=0):
+        model = get_model(name)
+        eng = Engine(model, dtype=jnp.float64)
+        m = _mj_model(name)
+        d = mujoco.MjData(m)
+        rng = np.random.RandomState(seed)
+        q = np.asarray(model.init_qpos) + rng.uniform(-0.3, 0.3, model.nv)
+        qd = rng.randn(model.nv) * 0.5
+        qpos, qvel, T = _eng_to_mj(model, m, eng, q, qd)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mujoco.mj_forward(m, d)
+        return model, eng, m, d, q, qd, T
+
+    def test_fk_matches(self, name):
+        with jax.enable_x64():
+            model, eng, m, d, q, qd, T = self._setup(name)
+            kin = eng.fk(jnp.asarray(q))
+            np.testing.assert_allclose(np.asarray(kin["body_pos"]),
+                                       d.xpos[1:], atol=1e-10)
+            np.testing.assert_allclose(np.asarray(kin["com"]), d.xipos[1:],
+                                       atol=1e-10)
+
+    def test_mass_matrix_matches(self, name):
+        with jax.enable_x64():
+            model, eng, m, d, q, qd, T = self._setup(name)
+            M_mj = np.zeros((m.nv, m.nv))
+            mujoco.mj_fullM(m, d, M_mj)
+            M_eng = np.asarray(eng.mass_matrix(jnp.asarray(q)))
+            np.testing.assert_allclose(M_eng, T.T @ M_mj @ T,
+                                       atol=1e-10, rtol=1e-8)
+
+    def test_bias_forces_match(self, name):
+        with jax.enable_x64():
+            model, eng, m, d, q, qd, T = self._setup(name)
+            eps = 1e-6
+            _, _, Tp = _eng_to_mj(model, m, eng, q + eps * qd, qd)
+            _, _, Tm = _eng_to_mj(model, m, eng, q - eps * qd, qd)
+            Tdot = (Tp - Tm) / (2 * eps)
+            M_mj = np.zeros((m.nv, m.nv))
+            mujoco.mj_fullM(m, d, M_mj)
+            mapped = T.T @ (M_mj @ (Tdot @ qd) + d.qfrc_bias)
+            ours = np.asarray(eng.rnea_bias(jnp.asarray(q), jnp.asarray(qd)))
+            scale = max(1.0, np.abs(mapped).max())
+            np.testing.assert_allclose(ours, mapped, atol=1e-4 * scale)
+
+
+@pytest.mark.parametrize("name", ["half_cheetah", "walker2d", "hopper",
+                                  "swimmer", "ant", "humanoid"])
+def test_rnea_matches_autodiff_oracle(name):
+    """rnea_bias == -(autodiff Coriolis + gravity) on every model —
+    the two independent formulations of the same bias forces."""
+    with jax.enable_x64():
+        model = get_model(name)
+        eng = Engine(model, dtype=jnp.float64)
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(np.asarray(model.init_qpos)
+                        + rng.uniform(-0.3, 0.3, model.nv))
+        qd = jnp.asarray(rng.randn(model.nv) * 1.5)
+        rnea = np.asarray(eng.rnea_bias(q, qd))
+        oracle = np.asarray(-(eng._bias_torque(q, qd)
+                              + eng.gravity_torque(q)))
+        scale = max(1.0, np.abs(oracle).max())
+        np.testing.assert_allclose(rnea, oracle, atol=1e-10 * scale)
+
 
 def test_fluid_forces_match_qfrc_passive():
     """Inertia-box fluid model == MuJoCo qfrc_passive on the swimmer MJCF.
