@@ -16,6 +16,7 @@ the BASELINE.json north star asks for >=10x that.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -23,6 +24,12 @@ REFERENCE_ENV_STEPS_PER_S = 15_000.0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", choices=["scan", "pallas"], default="scan",
+                    help="rollout backend: the general scan engine "
+                         "(default) or the Pallas VMEM megakernel fast "
+                         "path (ops/pallas_rollout.py)")
+    args = ap.parse_args()
     import jax
     # persistent compilation cache: first-ever run pays the (remote) XLA
     # compile; subsequent driver runs start hot
@@ -54,7 +61,8 @@ def main():
                                          normalize_adv=True),
         meta_batch_size=meta_batch_size,
         rollouts_per_meta_task=rollouts,
-        max_path_length=horizon, n_itr=1, seed=1)
+        max_path_length=horizon, n_itr=1, seed=1,
+        rollout_backend=args.backend)
 
     steps_per_iter = meta_batch_size * rollouts * horizon * 2
 
@@ -97,8 +105,10 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps_per_s = steps_per_iter * n_timed / elapsed
+    suffix = "_pallas" if args.backend == "pallas" else ""
     print(json.dumps({
-        "metric": "env_steps_per_s_promp_pointmass_full_meta_iteration",
+        "metric":
+            f"env_steps_per_s_promp_pointmass_full_meta_iteration{suffix}",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2),

@@ -90,6 +90,23 @@ class TaskEnv:
         override this to persist them across episode boundaries."""
         return self.reset(key, task)
 
+    def diagnostics(self, samples):
+        """Per-iteration env diagnostics — the analog of the reference's
+        ``MetaEnv.log_diagnostics(paths, prefix)`` (envs/base.py:44-49,
+        called per sampling round at meta_trainer.py:109) — computed from
+        the batched samples dict (leaves shaped (tasks, envs, T, ...)).
+        Must be jit-compatible (pure jnp; returns a dict of scalars).
+        Default: the mean of each ``diagnostics_keys`` env_info, as
+        ``Env-<key>``. Envs whose reference counterpart defines
+        log_diagnostics override this with the reference's exact stat
+        names/spreads (Average/Max/Min/Std)."""
+        out = {}
+        infos = samples.get("env_infos", {})
+        for k in self.diagnostics_keys:
+            if k in infos:
+                out[f"Env-{k}"] = jnp.mean(infos[k])
+        return out
+
     @property
     def obs_dim(self):
         return self.observation_space.dim

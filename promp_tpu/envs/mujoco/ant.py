@@ -84,6 +84,20 @@ class AntRandGoalEnv(AntBase):
         return (state, self._obs(state, task), reward, jnp.array(False),
                 info)
 
+    def diagnostics(self, samples):
+        """Mirror of ant_rand_goal.py:68-77: per-path mean of
+        reward_forward with Average/Max/Min/Std spreads, plus the mean
+        per-path ctrl cost."""
+        out = super().diagnostics(samples)
+        progs = jnp.mean(samples["env_infos"]["reward_forward"], axis=-1)
+        ctrl = jnp.mean(-samples["env_infos"]["reward_ctrl"], axis=-1)
+        out["AverageForwardReturn"] = jnp.mean(progs)
+        out["MaxForwardReturn"] = jnp.max(progs)
+        out["MinForwardReturn"] = jnp.min(progs)
+        out["StdForwardReturn"] = jnp.std(progs)
+        out["AverageCtrlCost"] = jnp.mean(ctrl)
+        return out
+
 
 @register_env("AntRandDirecEnv")
 @dataclass(frozen=True)

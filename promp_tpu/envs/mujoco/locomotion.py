@@ -126,6 +126,18 @@ class HalfCheetahRandVelEnv(HalfCheetahBase):
                     reward_ctrl=reward_ctrl)
         return state, self._obs(state, task), reward, jnp.array(False), info
 
+    def diagnostics(self, samples):
+        """Mirror of half_cheetah_rand_vel.py:57-64, including the
+        reference's quirk of logging the STD of ctrl cost under the
+        'AvgCtrlCost' name (:64)."""
+        out = super().diagnostics(samples)
+        vel = samples["env_infos"]["forward_vel"]       # (tasks, envs, T)
+        ctrl = -samples["env_infos"]["reward_ctrl"]
+        out["AvgForwardVel"] = jnp.mean(vel)
+        out["AvgFinalForwardVel"] = jnp.mean(vel[..., -1])
+        out["AvgCtrlCost"] = jnp.std(ctrl)
+        return out
+
 
 @register_env("HalfCheetahRandDirecEnv")
 @dataclass(frozen=True)
@@ -250,6 +262,20 @@ class SwimmerRandVelEnv(LocomotionEnv):
         reward = reward_fwd + reward_ctrl
         info = dict(reward_fwd=reward_fwd, reward_ctrl=reward_ctrl)
         return state, self._obs(state, task), reward, jnp.array(False), info
+
+    def diagnostics(self, samples):
+        """Mirror of swimmer_rand_vel.py:54-62: 'ForwardProgress' is the
+        last-minus-first value of observation column -3 per path (a
+        reference quirk — that column is qvel[2], mirrored faithfully),
+        with Average/Max/Min/Std spreads across paths."""
+        out = super().diagnostics(samples)
+        obs = samples["observations"]                    # (tasks, envs, T, d)
+        progs = obs[..., -1, -3] - obs[..., 0, -3]       # per (task, env)
+        out["AverageForwardProgress"] = jnp.mean(progs)
+        out["MaxForwardProgress"] = jnp.max(progs)
+        out["MinForwardProgress"] = jnp.min(progs)
+        out["StdForwardProgress"] = jnp.std(progs)
+        return out
 
 
 # -------------------------------------------------------------------- Hopper

@@ -48,6 +48,9 @@ class NormalizedEnv(TaskEnv):
     def diagnostics_keys(self):
         return self.env.diagnostics_keys
 
+    def diagnostics(self, samples):
+        return self.env.diagnostics(samples)
+
     @property
     def never_done(self):
         return getattr(self.env, "never_done", False)

@@ -47,6 +47,21 @@ class Trainer:
     fused: bool = False
     mesh: Optional[Any] = None  # jax.sharding.Mesh for multi-chip runs
     task_axis: str = "task"
+    # Rollout backend: "scan" is the general engine (sampling/rollout.py);
+    # "pallas" opts into the VMEM-resident megakernel for the point-mass
+    # benchmark workload (ops/pallas_rollout.py, bitwise-validated vs a
+    # plain-JAX replay in tests/test_pallas.py). Falls back to "scan" with
+    # a warning when the env/policy shape doesn't fit the kernel.
+    rollout_backend: str = "scan"
+    # Phase timing cadence: per-phase wall-clock (Time-Sampling /
+    # Time-SampleProc / Time-InnerStep / Time-OuterStep, PolicyExecTime /
+    # EnvExecTime) needs host barriers between phases, which cost ~4x
+    # throughput if taken every iteration (round-1 RESULTS.md). Every
+    # ``timing_every``-th iteration is measured precisely; the other
+    # iterations run barrier-free (one sync at iteration end) and carry
+    # the last measured values forward. timing_every=1 restores the
+    # reference's per-iteration timing exactly (meta_trainer.py:131-142).
+    timing_every: int = 10
     # jax.profiler trace capture (SURVEY.md §5.1: the reference has only
     # coarse wall-clock keys; we add real device traces): directory to
     # write a trace into, and which iteration to capture.
@@ -56,6 +71,26 @@ class Trainer:
     def __post_init__(self):
         self.num_inner_grad_steps = self.algo.num_inner_grad_steps
         self._build()
+
+    def _pallas_supported(self):
+        """The megakernel covers exactly the benchmark workload: sparse
+        MetaPointEnvCorner under normalize(scale=10, no obs/reward
+        normalization) with a 2-hidden-layer tanh MLP."""
+        from promp_tpu.utils import logger
+        env = self.env
+        inner = getattr(env, "env", env)
+        ok = (type(inner).__name__ == "MetaPointEnvCorner"
+              and getattr(inner, "reward_type", None) == "sparse"
+              and getattr(env, "normalization_scale", None) == 10.0
+              and not getattr(env, "normalize_obs", False)
+              and not getattr(env, "normalize_reward", False)
+              and len(self.policy.hidden_sizes) == 2
+              and self.policy.hidden_nonlinearity == "tanh"
+              and self.policy.output_nonlinearity is None)
+        if not ok:
+            logger.log("rollout_backend='pallas' unsupported for this "
+                       "env/policy; falling back to the scan engine")
+        return ok
 
     # ------------------------------------------------------------------ build
     def _build(self):
@@ -85,11 +120,49 @@ class Trainer:
             return constrain(
                 self.env.sample_tasks(rng, self.meta_batch_size))
 
-        def sample_round(task_params, tasks, rng, floor):
-            traj = rollout(self.env, self.policy, task_params, tasks, rng,
+        use_pallas = (self.rollout_backend == "pallas"
+                      and self._pallas_supported())
+
+        def pallas_rollout(task_params, tasks, rng):
+            from promp_tpu.ops.pallas_rollout import pallas_pointmass_rollout
+            n_tasks, n_envs = self.meta_batch_size, self.rollouts_per_meta_task
+            horizon = self.max_path_length
+            k_reset, k_noise = jax.random.split(rng)
+            reset_keys = jax.random.split(
+                k_reset, n_tasks * n_envs).reshape(n_tasks, n_envs, -1)
+            _, obs0 = jax.vmap(lambda ks, t: jax.vmap(
+                self.env.reset, in_axes=(0, None))(ks, t))(reset_keys, tasks)
+            out = pallas_pointmass_rollout(
+                task_params, tasks, obs0, k_noise, horizon=horizon,
+                interpret=jax.default_backend() != "tpu")
+            # the kernel env is never-done: fill the scan engine's contract
+            out["dones"] = jnp.zeros((n_tasks, n_envs, horizon), jnp.bool_)
+            out["timesteps"] = jnp.broadcast_to(
+                jnp.arange(horizon, dtype=jnp.int32),
+                (n_tasks, n_envs, horizon))
+            out["env_infos"] = {}
+            return out
+
+        def do_rollout(task_params, tasks, rng, floor):
+            if use_pallas:
+                # kernel reads log_std raw (no floor); identical to the
+                # floored path unless log_std reaches log(1e-6)
+                return pallas_rollout(task_params, tasks, rng)
+            return rollout(self.env, self.policy, task_params, tasks, rng,
                            self.rollouts_per_meta_task, self.max_path_length,
                            floor_std=floor)
-            return self.sample_processor.process(traj)
+
+        def do_process(traj):
+            samples = self.sample_processor.process(traj)
+            # env diagnostics — the analog of MetaEnv.log_diagnostics,
+            # logged per sampling round (meta_trainer.py:109)
+            diag = getattr(self.env, "diagnostics", None)
+            if diag is not None:
+                samples["stats"].update(diag(samples))
+            return samples
+
+        def sample_round(task_params, tasks, rng, floor):
+            return do_process(do_rollout(task_params, tasks, rng, floor))
 
         def adapt(task_params, step_sizes, samples):
             return constrain(self.algo.adapt(task_params, step_sizes, samples))
@@ -98,12 +171,25 @@ class Trainer:
             return self.algo.optimize_policy(train_state, opt_state,
                                              all_data, hparams)
 
+        def policy_fwd(task_params, obs, floor):
+            # PolicyExecTime attribution: the same per-step policy forward
+            # the rollout scan runs, re-executed over the round's sampled
+            # observations (tasks, envs, T, d) -> timing the policy's share
+            # of sampling (the analog of meta_sampler.py:133-135)
+            return jax.vmap(
+                lambda p, o: self.policy.apply(p, o, floor_std=floor))(
+                    task_params, obs)
+
         self._update_tasks = jax.jit(update_tasks)
         # `floor` rides as a traced bool (policies/gaussian_mlp.py applies
         # it with jnp.where) so pre/post-update rounds share ONE program
         self._sample_round = jax.jit(sample_round)
+        self._rollout = jax.jit(do_rollout)
+        self._process = jax.jit(do_process)
         self._adapt = jax.jit(adapt)
         self._outer = jax.jit(outer)
+        self._policy_fwd = jax.jit(policy_fwd)
+        self._phase_times = {}
 
         def iteration(train_state, opt_state, hparams, rng):
             keys = jax.random.split(rng, self.num_inner_grad_steps + 2)
@@ -152,7 +238,9 @@ class Trainer:
                 metrics = jax.device_get(metrics)
                 round_stats = None
             else:
-                metrics, round_stats = self._run_phases(it_key)
+                measure = (self.timing_every <= 1
+                           or itr % self.timing_every == 0)
+                metrics, round_stats = self._run_phases(it_key, measure)
 
             if profiling:
                 jax.profiler.stop_trace()
@@ -168,46 +256,68 @@ class Trainer:
         logger.log("Training finished")
         return self.train_state
 
-    def _run_phases(self, it_key):
-        """Phase-split iteration with Time-* keys (meta_trainer.py:88-142)."""
+    def _run_phases(self, it_key, measure=True):
+        """Phase-split iteration with Time-* keys (meta_trainer.py:88-142).
+
+        ``measure=True`` takes a host barrier after every phase so each
+        Time-* key is real wall-clock (plus the PolicyExecTime /
+        EnvExecTime split of sampling, meta_sampler.py:133-135, attributed
+        by re-timing the round's policy forwards). ``measure=False`` runs
+        the phases back-to-back with ONE sync at the end (async dispatch —
+        the throughput mode) and reuses the last measured phase times.
+        """
         keys = jax.random.split(it_key, self.num_inner_grad_steps + 2)
-        t0 = time.time()
         tasks = self._update_tasks(keys[0])
         task_params = self.policy.replicate(self.train_state["params"],
                                             self.meta_batch_size)
         all_data, round_stats = [], []
-        t_sampling = t_inner = 0.0
-        diag_keys = tuple(getattr(self.env, "diagnostics_keys", ()) or ())
+        t_sampling = t_proc = t_inner = t_policy = 0.0
         for step in range(self.num_inner_grad_steps + 1):
-            ts = time.time()
-            samples = self._sample_round(task_params, tasks, keys[step + 1],
-                                         step == 0)
-            stats = samples.pop("stats")
-            # env diagnostics (the analog of MetaEnv.log_diagnostics, e.g.
-            # AvgForwardVel — half_cheetah_rand_vel.py:57-64)
-            for k in diag_keys:
-                if k in samples["env_infos"]:
-                    stats[f"Env-{k}"] = jnp.mean(samples["env_infos"][k])
-            jax.block_until_ready(samples)
-            t_sampling += time.time() - ts
-            round_stats.append(stats)
+            if measure:
+                ts = time.time()
+                traj = self._rollout(task_params, tasks, keys[step + 1],
+                                     step == 0)
+                jax.block_until_ready(traj)
+                t_sampling += time.time() - ts
+                tp = time.time()
+                samples = self._process(traj)
+                jax.block_until_ready(samples)
+                t_proc += time.time() - tp
+                # policy/env split of sampling: time the policy's forwards
+                # over the round's observations; the remainder is env time
+                tpol = time.time()
+                jax.block_until_ready(self._policy_fwd(
+                    task_params, traj["observations"], step == 0))
+                t_policy += time.time() - tpol
+            else:
+                samples = self._sample_round(task_params, tasks,
+                                             keys[step + 1], step == 0)
+            round_stats.append(samples.pop("stats"))
             all_data.append(samples)
             if step < self.num_inner_grad_steps:
                 ta = time.time()
                 task_params = self._adapt(task_params,
                                           self.train_state["step_sizes"],
                                           samples)
-                jax.block_until_ready(task_params)
-                t_inner += time.time() - ta
+                if measure:
+                    jax.block_until_ready(task_params)
+                    t_inner += time.time() - ta
         to = time.time()
         self.train_state, self.opt_state, metrics = self._outer(
             self.train_state, self.opt_state, all_data, self.hparams)
         metrics = jax.device_get(metrics)
-        t_outer = time.time() - to
-        metrics["Time-Sampling"] = t_sampling
-        metrics["Time-InnerStep"] = t_inner
-        metrics["Time-OuterStep"] = t_outer
-        metrics["Time-MAMLSteps"] = t_inner + t_outer
+        if measure:
+            t_outer = time.time() - to
+            self._phase_times = {
+                "Time-Sampling": t_sampling,
+                "Time-SampleProc": t_proc,
+                "Time-InnerStep": t_inner,
+                "Time-OuterStep": t_outer,
+                "Time-MAMLSteps": t_inner + t_outer,
+                "PolicyExecTime": t_policy,
+                "EnvExecTime": max(t_sampling - t_policy, 0.0),
+            }
+        metrics.update(self._phase_times)
         for step, stats in enumerate(jax.device_get(round_stats)):
             for k, v in stats.items():
                 metrics[f"Step_{step}-{k}"] = v

@@ -130,6 +130,106 @@ class CSVOutputFormat(KVWriter):
         self.file.close()
 
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data):
+    """CRC-32C (Castagnoli), table-driven — needed by the TFRecord
+    framing of TensorBoard event files."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data):
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+def _pb_varint(v):
+    out = bytearray()
+    while True:
+        bits = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def _pb_bytes(field_num, payload):
+    return _pb_varint((field_num << 3) | 2) + _pb_varint(len(payload)) \
+        + payload
+
+
+class TensorBoardOutputFormat(KVWriter):
+    """TensorBoard scalar event files, dependency-free.
+
+    The reference's TB writer (reference logger.py:148-195) drives TF1's
+    pywrap EventsWriter; this build has no TensorFlow, so the Event /
+    Summary protobuf messages and the TFRecord record framing (length +
+    masked CRC-32C) are hand-encoded — ~40 scalars per iteration, so the
+    pure-Python CRC is nowhere near any hot path. Readable by standard
+    TensorBoard (`tensorboard --logdir <dir>`).
+    """
+
+    def __init__(self, dirname):
+        os.makedirs(dirname, exist_ok=True)
+        import socket
+        path = osp.join(dirname,
+                        f"events.out.tfevents.{int(time.time())}."
+                        f"{socket.gethostname()}")
+        self.file = open(path, "wb")
+        self.step = 0
+        # header event: file_version (Event field 3) = "brain.Event:2"
+        self._write_event(_pb_bytes(3, b"brain.Event:2"))
+
+    def _write_event(self, payload):
+        import struct
+        # wall_time: Event field 1, wire type 1 (double)
+        payload = (_pb_varint(1 << 3 | 1) + struct.pack("<d", time.time())
+                   + payload)
+        header = struct.pack("<Q", len(payload))
+        self.file.write(header)
+        self.file.write(struct.pack("<I", _masked_crc(header)))
+        self.file.write(payload)
+        self.file.write(struct.pack("<I", _masked_crc(payload)))
+        self.file.flush()
+
+    def writekvs(self, kvs):
+        import struct
+        step = int(kvs.get("Itr", self.step))
+        values = b""
+        for k, v in sorted(kvs.items()):
+            try:
+                fv = float(v)
+            except (TypeError, ValueError):
+                continue
+            value_msg = (_pb_bytes(1, str(k).encode())
+                         + _pb_varint(2 << 3 | 5)
+                         + struct.pack("<f", fv))
+            values += _pb_bytes(1, value_msg)
+        event = (_pb_varint(2 << 3) + _pb_varint(step)   # step int64
+                 + _pb_bytes(5, values))                  # summary
+        self._write_event(event)
+        self.step = step + 1
+
+    def close(self):
+        self.file.close()
+
+
 def make_output_format(fmt, ev_dir, log_suffix=""):
     os.makedirs(ev_dir, exist_ok=True)
     if fmt == "stdout":
@@ -140,6 +240,8 @@ def make_output_format(fmt, ev_dir, log_suffix=""):
         return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
     if fmt == "csv":
         return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{log_suffix}"))
     raise ValueError(f"Unknown format {fmt!r}")
 
 

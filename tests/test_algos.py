@@ -215,3 +215,61 @@ class TestAlgoSmoke:
         _run_smoke(VPG_DICEMAML,
                    DiceSampleProcessor(max_path_length=8,
                                        return_baseline="LinearFeatureBaseline"))
+
+    def test_trainable_inner_step_size(self):
+        """Trainable per-parameter inner step sizes (reference
+        base.py:303-313 creates them as trainable variables): after
+        optimization the step sizes must have MOVED away from inner_lr,
+        learning stays finite, and with the flag off they stay fixed."""
+        env = normalize(MetaPointEnvCorner(reward_type="dense"))
+
+        def run(trainable):
+            policy = GaussianMLPPolicy(obs_dim=2, action_dim=2,
+                                       hidden_sizes=(8, 8))
+            algo = ProMP(policy=policy, num_inner_grad_steps=1,
+                         num_ppo_steps=2, inner_lr=0.1,
+                         trainable_inner_step_size=trainable)
+            trainer = Trainer(algo=algo, env=env, policy=policy,
+                              sample_processor=SampleProcessor(
+                                  normalize_adv=True),
+                              meta_batch_size=2, rollouts_per_meta_task=2,
+                              max_path_length=8, n_itr=2, seed=0)
+            state = trainer.train()
+            return state
+
+        state = run(trainable=True)
+        flat_params = jnp.concatenate(
+            [jnp.ravel(v) for v in state["params"].values()])
+        assert bool(jnp.all(jnp.isfinite(flat_params)))
+        ss = jnp.concatenate([jnp.ravel(v)
+                              for v in state["step_sizes"].values()])
+        assert bool(jnp.all(jnp.isfinite(ss)))
+        assert float(jnp.max(jnp.abs(ss - 0.1))) > 1e-6, \
+            "trainable step sizes never moved"
+
+        frozen = run(trainable=False)
+        ss0 = jnp.concatenate([jnp.ravel(v)
+                               for v in frozen["step_sizes"].values()])
+        np.testing.assert_array_equal(np.asarray(ss0),
+                                      np.full(ss0.shape, 0.1, np.float32))
+
+    def test_trainable_step_size_respects_learn_std_mask(self):
+        """mask_grads interplay: learn_std=False must keep log_std frozen
+        even while step sizes train (reference gaussian_mlp_policy.py:66
+        trainable iff learn_std; base.py:303-313)."""
+        env = normalize(MetaPointEnvCorner(reward_type="dense"))
+        policy = GaussianMLPPolicy(obs_dim=2, action_dim=2,
+                                   hidden_sizes=(8, 8), learn_std=False)
+        algo = ProMP(policy=policy, num_inner_grad_steps=1, num_ppo_steps=2,
+                     trainable_inner_step_size=True)
+        trainer = Trainer(algo=algo, env=env, policy=policy,
+                          sample_processor=SampleProcessor(
+                              normalize_adv=True),
+                          meta_batch_size=2, rollouts_per_meta_task=2,
+                          max_path_length=8, n_itr=2, seed=0)
+        init_log_std = np.asarray(
+            trainer.train_state["params"]["log_std_network/log_std_var"])
+        state = trainer.train()
+        np.testing.assert_array_equal(
+            np.asarray(state["params"]["log_std_network/log_std_var"]),
+            init_log_std)

@@ -87,3 +87,36 @@ class TestPallasRollout:
         oa, ob = (np.asarray(out["observations"]),
                   np.asarray(ref["observations"]))
         assert abs(oa.std() - ob.std()) < 0.1
+
+
+class TestPallasBackendInTrainer:
+    """The megakernel as a product-path rollout backend (Trainer opt-in)."""
+
+    def _trainer(self, env, **kw):
+        from promp_tpu.algos import ProMP
+        from promp_tpu.sampling.processor import SampleProcessor
+        from promp_tpu.trainer import Trainer
+        policy = GaussianMLPPolicy(obs_dim=2, action_dim=2,
+                                   hidden_sizes=(64, 64))
+        algo = ProMP(policy=policy, num_inner_grad_steps=1, num_ppo_steps=1,
+                     adaptive_inner_kl_penalty=False)
+        return Trainer(algo=algo, env=env, policy=policy,
+                       sample_processor=SampleProcessor(normalize_adv=True),
+                       meta_batch_size=2, rollouts_per_meta_task=2,
+                       max_path_length=8, n_itr=1, seed=0, **kw)
+
+    def test_trains_end_to_end(self):
+        env = normalize(MetaPointEnvCorner())  # sparse: kernel-supported
+        trainer = self._trainer(env, rollout_backend="pallas")
+        state = trainer.train()
+        flat = jnp.concatenate([jnp.ravel(v)
+                                for v in state["params"].values()])
+        assert bool(jnp.all(jnp.isfinite(flat)))
+
+    def test_falls_back_on_unsupported_env(self):
+        env = normalize(MetaPointEnvCorner(reward_type="dense"))
+        trainer = self._trainer(env, rollout_backend="pallas")
+        state = trainer.train()  # runs on the scan engine
+        flat = jnp.concatenate([jnp.ravel(v)
+                                for v in state["params"].values()])
+        assert bool(jnp.all(jnp.isfinite(flat)))

@@ -96,6 +96,42 @@ class TestLogger:
                   open(os.path.join(d, "progress.json"))]
         assert jlines[1]["a"] == 3.0
 
+    def test_tensorboard_output_format(self, tmp_path):
+        """The dependency-free TB writer emits valid TFRecord event files
+        (reference logger.py:148-195 via TF1's EventsWriter): records frame
+        with masked CRC-32C, and scalars decode back (tag + simple_value)."""
+        import struct
+
+        from promp_tpu.utils.logger import _masked_crc
+
+        d = str(tmp_path)
+        logger.configure(dir=d, format_strs=["tensorboard"])
+        logger.logkv("Itr", 3)
+        logger.logkv("AverageReturn", -12.5)
+        logger.dumpkvs()
+        logger._get().close()
+
+        tbdir = os.path.join(d, "tb")
+        files = os.listdir(tbdir)
+        assert len(files) == 1 and files[0].startswith("events.out.tfevents")
+        blob = open(os.path.join(tbdir, files[0]), "rb").read()
+        records = []
+        off = 0
+        while off < len(blob):
+            (length,) = struct.unpack_from("<Q", blob, off)
+            (len_crc,) = struct.unpack_from("<I", blob, off + 8)
+            assert len_crc == _masked_crc(blob[off:off + 8])
+            data = blob[off + 12:off + 12 + length]
+            (data_crc,) = struct.unpack_from("<I", blob, off + 12 + length)
+            assert data_crc == _masked_crc(data)
+            records.append(data)
+            off += 16 + length
+        assert len(records) == 2  # file_version header + one summary event
+        assert b"brain.Event:2" in records[0]
+        assert b"AverageReturn" in records[1]
+        # simple_value float encoding present
+        assert struct.pack("<f", -12.5) in records[1]
+
     def test_logkv_mean(self, tmp_path):
         logger.configure(dir=str(tmp_path), format_strs=["csv"])
         logger.logkv_mean("x", 1.0)
@@ -209,6 +245,79 @@ class TestDiagnostics:
         metrics, _ = trainer._run_phases(jax.random.PRNGKey(0))
         assert "Step_0-Env-forward_vel" in metrics
         assert "Step_1-Env-reward_run" in metrics
+        # reference-named diagnostics incl. the AvgCtrlCost=std quirk
+        # (half_cheetah_rand_vel.py:57-64)
+        assert "Step_0-AvgForwardVel" in metrics
+        assert "Step_0-AvgFinalForwardVel" in metrics
+        assert "Step_1-AvgCtrlCost" in metrics
+
+    def test_diagnostics_spreads_swimmer_and_ant(self):
+        """Average/Max/Min/Std spreads mirror swimmer_rand_vel.py:54-62
+        and ant_rand_goal.py:68-77, computed from fake batched samples."""
+        from promp_tpu.envs import make_env
+        rng = np.random.RandomState(0)
+        obs = rng.randn(3, 4, 6, 8).astype(np.float32)
+        swimmer = make_env("SwimmerRandVelEnv")
+        out = swimmer.diagnostics({
+            "observations": jnp.asarray(obs),
+            "env_infos": {"reward_fwd": jnp.zeros((3, 4, 6)),
+                          "reward_ctrl": jnp.zeros((3, 4, 6))}})
+        progs = obs[..., -1, -3] - obs[..., 0, -3]
+        np.testing.assert_allclose(out["AverageForwardProgress"],
+                                   progs.mean(), rtol=1e-6)
+        np.testing.assert_allclose(out["MaxForwardProgress"], progs.max(),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out["StdForwardProgress"], progs.std(),
+                                   rtol=1e-5)
+
+        fwd = rng.randn(3, 4, 6).astype(np.float32)
+        ctrl = rng.rand(3, 4, 6).astype(np.float32)
+        ant = make_env("AntRandGoalEnv")
+        out = ant.diagnostics({
+            "observations": jnp.asarray(obs),
+            "env_infos": {"reward_forward": jnp.asarray(fwd),
+                          "reward_ctrl": jnp.asarray(-ctrl)}})
+        per_path = fwd.mean(-1)
+        np.testing.assert_allclose(out["AverageForwardReturn"],
+                                   per_path.mean(), rtol=1e-5)
+        np.testing.assert_allclose(out["MinForwardReturn"], per_path.min(),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(out["AverageCtrlCost"],
+                                   ctrl.mean(-1).mean(), rtol=1e-5)
+
+
+class TestPhaseTiming:
+    def test_timing_keys_present_and_consistent(self):
+        trainer = make_trainer(n_itr=1, timing_every=1)
+        metrics, _ = trainer._run_phases(jax.random.PRNGKey(0),
+                                         measure=True)
+        for k in ("Time-Sampling", "Time-SampleProc", "Time-InnerStep",
+                  "Time-OuterStep", "Time-MAMLSteps", "PolicyExecTime",
+                  "EnvExecTime"):
+            assert k in metrics, k
+            assert metrics[k] >= 0.0
+        # sampling-time split: policy + env == sampling (by construction)
+        np.testing.assert_allclose(
+            metrics["PolicyExecTime"] + metrics["EnvExecTime"],
+            metrics["Time-Sampling"], rtol=1e-6, atol=1e-9)
+
+    def test_amortized_timing_carries_forward(self, tmp_path):
+        """timing_every>1: unmeasured iterations still log the Time-* keys
+        (carrying the last measured values) so progress.csv keeps the
+        reference's column set every row."""
+        logger.configure(dir=str(tmp_path), format_strs=["csv"])
+        trainer = make_trainer(n_itr=3, timing_every=2)
+        trainer.train()
+        rows = list(csv.DictReader(
+            open(os.path.join(str(tmp_path), "progress.csv"))))
+        assert len(rows) == 3
+        for row in rows:
+            assert row["Time-SampleProc"] != ""
+            assert row["PolicyExecTime"] != ""
+        # itr 1 is unmeasured -> carries itr 0's values verbatim
+        assert rows[1]["Time-Sampling"] == rows[0]["Time-Sampling"]
+        # itr 2 is measured again -> fresh values (different wall-clock)
+        assert rows[2]["Time-Sampling"] != rows[1]["Time-Sampling"]
 
 
 class TestCompatSampler:
