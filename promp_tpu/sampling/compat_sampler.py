@@ -45,7 +45,8 @@ class CompatPointMassSampler:
 
     def __init__(self, policy, meta_batch_size, envs_per_task,
                  max_path_length, seed=1, reward_type="sparse",
-                 sparse_reward_radius=0.5, normalization_scale=10.0):
+                 sparse_reward_radius=0.5, normalization_scale=10.0,
+                 dtype=jnp.float32):
         self.policy = policy
         self.meta_batch_size = meta_batch_size
         self.envs_per_task = envs_per_task
@@ -53,6 +54,10 @@ class CompatPointMassSampler:
         self.reward_type = reward_type
         self.sparse_reward_radius = sparse_reward_radius
         self.normalization_scale = normalization_scale
+        # float64 mode for the full-pipeline oracle test (the reference's
+        # host arithmetic is float64 numpy around a float32 TF forward;
+        # dtype=float64 makes BOTH sides exact for semantic comparison)
+        self.dtype = dtype
         np.random.seed(seed)
 
     # ----------------------------------------------------- RNG-faithful env
@@ -103,7 +108,7 @@ class CompatPointMassSampler:
         logstd_buf = np.zeros((n_t, n_e, T, 2))
 
         for t in range(T):
-            dist = apply_fn(task_params, jnp.asarray(states, jnp.float32))
+            dist = apply_fn(task_params, jnp.asarray(states, self.dtype))
             means = np.asarray(dist["mean"], np.float64)
             log_stds = np.asarray(dist["log_std"], np.float64)
             # the policy re-samples its action in numpy on the
