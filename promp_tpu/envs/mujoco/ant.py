@@ -27,8 +27,9 @@ class AntBase(LocomotionEnv):
 
     model_name: str = "ant"
     frame_skip: int = 5
-    # ant's light feet + penalty contacts need h ~ 1.25e-3 for stability
-    n_substeps: int = 8
+    # light feet + k=1e4 penalties: implicit contact terms in the solve
+    # are stable at h=2.5e-3 (round 1's explicit contacts needed nsub=8)
+    n_substeps: int = 2
     qpos_noise: float = 0.1
     qvel_noise: float = 0.1
     stochastic_step: bool = False

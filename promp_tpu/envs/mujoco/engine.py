@@ -50,8 +50,16 @@ class Engine:
     limit_damping: float = 20.0
     # hard cap on joint velocities: keeps extreme-torque excursions finite
     # so a diverging env instance cannot poison a whole rollout batch with
-    # NaNs (MuJoCo's constraint solver implicitly bounds these)
-    max_qvel: float = 1.0e3
+    # NaNs (MuJoCo's constraint solver implicitly bounds these; real
+    # locomotion qvel stays well under ~30)
+    max_qvel: float = 1.0e2
+    # relative Tikhonov regularization of the (M + hD) solve. The free-root
+    # Euler decomposition (3 hinges) makes M exactly singular at gimbal
+    # lock (pitch = +-pi/2) — a flipped ant/humanoid — where a float32
+    # Cholesky returns NaN and permanently poisons never-done envs. The
+    # reg is a tiny virtual armature ~1e-5 * mean diag(M); legit
+    # eigenvalues are O(1), so dynamics error is O(1e-5) relative.
+    solve_reg: float = 1.0e-5
     dtype: type = jnp.float32
 
     # ------------------------------------------------------------------- fk
@@ -198,10 +206,19 @@ class Engine:
         return -jax.grad(potential)(q)
 
     # -------------------------------------------------------------- contact
-    def contact_torque(self, q, qd, mods=None, kin=None):
+    def _contact_terms(self, q, qd, mods=None, kin=None):
+        """Contact forces AND the implicit-solve coefficients.
+
+        Returns (tau, force, J, cn_eff, ct_eff, kn_eff) where J is the
+        (nc, 3, nv) contact-point Jacobian and the *_eff vectors are the
+        per-contact damping/stiffness coefficients active at this state —
+        folded into the integrator's (M + hC + h²K) matrix so the stiff
+        velocity-dependent part of the penalty contact integrates
+        implicitly (the same trick MuJoCo's Euler uses for joint damping,
+        extended to the contact spring-dampers). This is what lets the
+        envs run at MuJoCo-like substep counts instead of 2–8× more.
+        """
         m = self.model
-        if len(m.con_body) == 0:
-            return jnp.zeros_like(q), jnp.zeros((0, 3), self.dtype)
         dt = self.dtype
         if kin is None:
             kin = self.fk(q)
@@ -218,19 +235,90 @@ class Engine:
         radius = jnp.asarray(m.con_radius, dt)
         phi = points[:, 2] - radius                               # penetration
         in_contact = (phi < 0.0).astype(dt)
+        if len(m.con_skip_ground):
+            in_contact = in_contact * (
+                1.0 - jnp.asarray(m.con_skip_ground, dt))
         fn = (self.contact_stiffness * (-phi)
               - self.contact_damping * vel[:, 2])
         fn = jnp.maximum(fn, 0.0) * in_contact
         vt = vel[:, :2]
         vt_norm = jnp.sqrt(jnp.sum(vt**2, axis=-1) + 1e-8)
         friction = self._phys(mods, "friction", m.friction)
-        ft_mag = jnp.minimum(self.contact_tangential_damping * vt_norm,
-                             friction * fn)
-        ft = -ft_mag[:, None] * vt / vt_norm[:, None]
-        force = jnp.concatenate([ft * in_contact[:, None], fn[:, None]],
-                                axis=-1)                          # (nc, 3)
+        # cone-aware tangential coefficient: the slope of the clamped
+        # friction force at the current state (= c_t while inside the
+        # cone, mu*fn/|vt| once saturated); used both for the explicit
+        # force and as the implicit damping linearization
+        ct_eff = jnp.minimum(self.contact_tangential_damping,
+                             friction * fn / vt_norm) * in_contact
+        ft = -ct_eff[:, None] * vt
+        force = jnp.concatenate([ft, fn[:, None]], axis=-1)       # (nc, 3)
         tau = jnp.einsum("civ,ci->v", J, force)
+        active_n = in_contact * (fn > 0.0)
+        cn_eff = self.contact_damping * active_n
+        kn_eff = self.contact_stiffness * active_n
+        return tau, force, J, cn_eff, ct_eff, kn_eff
+
+    def contact_torque(self, q, qd, mods=None, kin=None):
+        m = self.model
+        if len(m.con_body) == 0:
+            return jnp.zeros_like(q), jnp.zeros((0, 3), self.dtype)
+        tau, force = self._contact_terms(q, qd, mods, kin)[:2]
         return tau, force
+
+    def _pair_terms(self, q, qd, mods=None, kin=None):
+        """Sphere-sphere contact pairs (manipulation scenes).
+
+        Same penalty spring-damper + cone-clamped friction as the ground
+        contact, along the center line between the two spheres; returns
+        (tau, J_rel, C_mats) where J_rel = J_a − J_b is the (npair, 3, nv)
+        relative-point Jacobian and C_mats the per-pair 3×3 implicit
+        coefficient matrices (h·C + h²·K split performed by the caller in
+        normal/tangent decomposition here: C = ct (I − nnᵀ) + cn nnᵀ,
+        K = kn nnᵀ)."""
+        m = self.model
+        dt = self.dtype
+        if kin is None:
+            kin = self.fk(q)
+        ancestor_b = m.ancestor_mask()
+        body_idx = np.asarray(m.con_body)
+        pts_local = jnp.asarray(m.con_pos, dt)
+        points = (kin["body_pos"][body_idx]
+                  + jax.vmap(quat_rotate)(kin["body_quat"][body_idx],
+                                          pts_local))
+        radius = jnp.asarray(m.con_radius, dt)
+        ia = np.asarray(m.pair_a)
+        ib = np.asarray(m.pair_b)
+        anc_a = jnp.asarray(
+            np.stack([ancestor_b[b] for b in body_idx[ia]]), dt)
+        anc_b = jnp.asarray(
+            np.stack([ancestor_b[b] for b in body_idx[ib]]), dt)
+        Ja = self._point_jacobian(kin, points[ia], body_idx[ia], anc_a)
+        Jb = self._point_jacobian(kin, points[ib], body_idx[ib], anc_b)
+        J = Ja - Jb                                            # (np_, 3, nv)
+        d = points[ia] - points[ib]                            # (np_, 3)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        n = d / dist[:, None]
+        phi = dist - (radius[ia] + radius[ib])
+        in_contact = (phi < 0.0).astype(dt)
+        vel = J @ qd                                           # (np_, 3)
+        vn = jnp.sum(vel * n, axis=-1)
+        fn = (self.contact_stiffness * (-phi)
+              - self.contact_damping * vn)
+        fn = jnp.maximum(fn, 0.0) * in_contact
+        vt = vel - vn[:, None] * n
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-8)
+        friction = self._phys(mods, "friction", m.friction)
+        ct_eff = jnp.minimum(self.contact_tangential_damping,
+                             friction * fn / vt_norm) * in_contact
+        force = fn[:, None] * n - ct_eff[:, None] * vt         # on sphere a
+        tau = jnp.einsum("civ,ci->v", J, force)
+        active = in_contact * (fn > 0.0)
+        nn = n[:, :, None] * n[:, None, :]                     # (np_, 3, 3)
+        eye = jnp.eye(3, dtype=dt)
+        C = (ct_eff[:, None, None] * (eye - nn)
+             + (self.contact_damping * active)[:, None, None] * nn)
+        K = (self.contact_stiffness * active)[:, None, None] * nn
+        return tau, J, C, K
 
     def body_velocities(self, q, qd):
         """Per-body COM spatial velocities (v, w): (nb,3) each — the analog
@@ -409,7 +497,9 @@ class Engine:
         # for qdd = 0 (matches MuJoCo: armature enters M only)
         return tau
 
-    def _limit_torque(self, q, qd):
+    def _limit_terms(self, q, qd):
+        """Joint-limit penalty torque + the per-dof implicit (c, k) pair
+        active at this state (diagonal in dof space)."""
         m = self.model
         dt = self.dtype
         lo = jnp.asarray(m.jnt_range[:, 0], dt)
@@ -418,9 +508,13 @@ class Engine:
         below = jnp.minimum(q - lo, 0.0)
         above = jnp.maximum(q - hi, 0.0)
         viol = below + above
-        tau = -self.limit_stiffness * viol - self.limit_damping * qd * (
-            (jnp.abs(viol) > 0).astype(dt))
-        return tau * limited
+        active = (jnp.abs(viol) > 0).astype(dt) * limited
+        tau = (-self.limit_stiffness * viol * limited
+               - self.limit_damping * qd * active)
+        return tau, self.limit_damping * active, self.limit_stiffness * active
+
+    def _limit_torque(self, q, qd):
+        return self._limit_terms(q, qd)[0]
 
     def substep(self, q, qd, tau_act, h, mods=None):
         """One semi-implicit Euler substep.
@@ -440,16 +534,39 @@ class Engine:
         kin = self.fk(q)
         M = self._mass_from_kin(kin, mods)
 
+        tau_lim, c_lim, k_lim = self._limit_terms(q, qd)
         tau = (tau_act
                - self.rnea_bias(q, qd, mods, kin=kin)
-               + self.contact_torque(q, qd, mods, kin=kin)[0]
                + self.fluid_torque(q, qd, mods, kin=kin)
-               + self._limit_torque(q, qd)
+               + tau_lim
                - stiffness * (q - springref)
                - damping * qd)
-        # implicit joint damping: (M + h D) qdd = tau  (MuJoCo Euler);
-        # A is SPD, so solve via Cholesky
-        A = M + h * jnp.diag(damping)
+        # diagonal implicit terms: joint damping (MuJoCo Euler), joint
+        # springs, active limit spring-dampers
+        diag_cd = (h * (damping + c_lim)
+                   + h * h * (k_lim + stiffness))
+        if len(m.con_body):
+            tau_c, _, J, cn, ct, kn = self._contact_terms(q, qd, mods, kin)
+            tau = tau + tau_c
+            # implicit contact spring-dampers: h Jᵀ C J + h² Jnᵀ K Jn.
+            # C couples (ct, ct, cn) per contact axis; K acts on the
+            # normal row only. Stabilizes the k=1e4-class penalties at
+            # MuJoCo-native substep counts.
+            coef = jnp.stack([h * ct, h * ct, h * cn + h * h * kn],
+                             axis=-1)                        # (nc, 3)
+            A_con = jnp.einsum("civ,ci,ciw->vw", J, coef, J)
+        else:
+            A_con = 0.0
+        if len(m.pair_a):
+            tau_p, Jp_, Cp, Kp = self._pair_terms(q, qd, mods, kin)
+            tau = tau + tau_p
+            A_con = A_con + jnp.einsum(
+                "civ,cij,cjw->vw", Jp_, h * Cp + h * h * Kp, Jp_)
+        # A is SPD up to the gimbal-lock singularity of Euler free roots —
+        # the scale-aware Tikhonov term keeps the Cholesky finite there
+        reg = self.solve_reg * (jnp.trace(M) / m.nv)
+        A = (M + jnp.diag(diag_cd) + A_con
+             + reg * jnp.eye(m.nv, dtype=dt))
         chol = jnp.linalg.cholesky(A)
         qdd = jax.scipy.linalg.cho_solve((chol, True), tau)
         qd_new = jnp.clip(qd + h * qdd, -self.max_qvel, self.max_qvel)

@@ -29,7 +29,7 @@ class HumanoidBase(LocomotionEnv):
 
     model_name: str = "humanoid"
     frame_skip: int = 5
-    n_substeps: int = 4
+    n_substeps: int = 2
     qpos_noise: float = 0.01
     qvel_noise: float = 0.01
     qvel_noise_kind: str = "uniform"

@@ -93,9 +93,9 @@ class HalfCheetahBase(LocomotionEnv):
 
     model_name: str = "half_cheetah"
     frame_skip: int = 5
-    # h=0.01 explicit contact is unstable under large random torques
-    # (N(0,1) actions blow up 16/16 over 100 steps; nsub=2 is 0/16)
-    n_substeps: int = 2
+    # implicit contact spring-dampers in the integrator solve keep h=0.01
+    # stable even under N(0,1) random torques (round 1 needed nsub=2)
+    n_substeps: int = 1
     never_done: bool = True
     diagnostics_keys = ("forward_vel", "reward_run", "reward_ctrl")
 

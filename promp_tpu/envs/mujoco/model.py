@@ -66,7 +66,8 @@ class ChainModel:
     act_gear: np.ndarray                  # (nu,)
     act_ctrlrange: np.ndarray             # (nu, 2)
 
-    # contact spheres (ground plane z=0 only)
+    # contact spheres (collide with the ground plane z=0, and pairwise
+    # where listed in pair_a/pair_b)
     con_body: Tuple[int, ...]             # (nc,) body index
     con_pos: np.ndarray                   # (nc, 3) center in body frame
     con_radius: np.ndarray                # (nc,)
@@ -87,6 +88,13 @@ class ChainModel:
     geom_axis: np.ndarray = field(default=None)     # (nb, 3)
     geom_halflen: np.ndarray = field(default=None)  # (nb,)
     geom_radius: np.ndarray = field(default=None)   # (nb,)
+    # sphere-sphere contact pairs: indices into the con_* sphere table
+    # (manipulation scenes: end-effector vs object/handle)
+    pair_a: Tuple[int, ...] = ()          # (npair,)
+    pair_b: Tuple[int, ...] = ()          # (npair,)
+    # spheres that do NOT collide with the ground plane (1 = skip), e.g.
+    # an end-effector that lives above a table plane
+    con_skip_ground: Tuple[int, ...] = ()  # (nc,) 0/1; () = all collide
 
     @property
     def nv(self):
@@ -356,7 +364,7 @@ _ARRAY_FIELDS = [
     "geom_axis", "geom_halflen", "geom_radius",
 ]
 _TUPLE_FIELDS = ["body_parent", "jnt_body", "jnt_type", "act_dof",
-                 "con_body"]
+                 "con_body", "pair_a", "pair_b", "con_skip_ground"]
 _SCALAR_FIELDS = ["friction", "timestep", "gravity", "free_dof_start",
                   "density", "viscosity"]
 
@@ -371,7 +379,9 @@ def save_spec(model: ChainModel, path):
 def load_spec(path) -> ChainModel:
     z = np.load(path)
     kwargs = {f: z[f] for f in _ARRAY_FIELDS}
-    kwargs.update({f: tuple(int(x) for x in z[f]) for f in _TUPLE_FIELDS})
+    # new tuple fields default to () for specs cached before they existed
+    kwargs.update({f: tuple(int(x) for x in z[f]) if f in z else ()
+                   for f in _TUPLE_FIELDS})
     kwargs.update({f: z[f].item() for f in _SCALAR_FIELDS})
     kwargs["free_dof_start"] = int(kwargs["free_dof_start"])
     return ChainModel(**kwargs)

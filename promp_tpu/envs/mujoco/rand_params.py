@@ -101,7 +101,7 @@ class HalfCheetahRandParamsEnv(RandParamsMixin, LocomotionEnv):
 
     model_name: str = "half_cheetah"
     frame_skip: int = 5
-    n_substeps: int = 2
+    n_substeps: int = 1
     never_done: bool = True
     log_scale_limit: float = 3.0
     rand_params: Tuple[str, ...] = RAND_PARAMS

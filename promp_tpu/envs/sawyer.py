@@ -1,54 +1,78 @@
-"""Sawyer-style goal-conditioned manipulation meta-envs (JAX-native).
+"""Sawyer-style goal-conditioned manipulation meta-envs (engine-backed).
 
-The reference's sawyer envs (reference:
+Pure-function ports of the reference's sawyer envs (reference:
 meta_policy_search/envs/sawyer_envs/sawyer_{push,push_simple,door,
-pick_and_place}.py) are thin adapters over the external ``multiworld``
-package's MuJoCo sawyer scenes, exposing goal-sampling as the task API
-(sawyer_door.py:17-32). ``multiworld`` is not installable in this stack, so
-these are JAX-native simplified-dynamics analogs: end-effector velocity
-control with an object (and door hinge / lift height where applicable),
-the same goal-as-task structure, flat state observations, and the same
-negative-distance reward shape. Task API and shapes mirror the adapters;
-dynamics fidelity to the multiworld scenes is approximate by design.
+pick_and_place}.py), which are thin adapters exposing multiworld MuJoCo
+scenes through the task API (task = sampled goal, sawyer_door.py:17-32) and
+reachDist/placeDist diagnostics (sawyer_pick_and_place.py:44-50).
+
+``multiworld`` is not installable in this stack; these envs run on the
+in-house rigid-body engine instead (promp_tpu/envs/mujoco/scenes.py): the
+end-effector is a velocity-servo body (the mocap-tracking analog of
+multiworld's arm), objects are dynamic bodies with gravity and table
+contact, and pushing / door-opening happen through sphere-sphere contact
+forces inside the rollout scan. The grasp in pick-and-place is the one
+kinematic simplification (attach while gripper closed, real physics on
+release). Task distributions, observation layouts, reward shapes and
+diagnostics keys mirror the round-1 analogs.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import cached_property
 
 import jax
 import jax.numpy as jnp
 
 from promp_tpu.envs.base import Box, TaskEnv, register_env
+from promp_tpu.envs.mujoco.engine import Engine
+from promp_tpu.envs.mujoco.scenes import (
+    sawyer_door_model, sawyer_pick_model, sawyer_push_model)
 
-EE_SPEED = 0.05
-REACH_RADIUS = 0.06
+REACH_RADIUS = 0.08
 
 
 @dataclass(frozen=True)
 class SawyerBase(TaskEnv):
-    """Shared: 3D end-effector moved by clipped velocity actions inside a
-    tabletop workspace; an object is dragged when the EE is within reach."""
+    """Shared: the engine scene, EE/obj state accessors, stepping."""
 
     never_done: bool = True
     stochastic_step: bool = False
-    workspace_low: tuple = (-0.3, 0.4, 0.02)
-    workspace_high: tuple = (0.3, 0.8, 0.3)
+    frame_skip: int = 4
     diagnostics_keys = ("reachDist", "placeDist")
 
     action_space: Box = Box(-1.0, 1.0, (3,))
 
-    def _clip_ws(self, p):
-        return jnp.clip(p, jnp.asarray(self.workspace_low),
-                        jnp.asarray(self.workspace_high))
+    def _model(self):
+        raise NotImplementedError
 
-    def _move(self, state, action):
-        ee = self._clip_ws(state["ee"] + EE_SPEED * jnp.clip(action[:3],
-                                                             -1.0, 1.0))
-        delta = ee - state["ee"]
-        near = jnp.linalg.norm(state["ee"] - state["obj"]) < REACH_RADIUS
-        obj = jnp.where(near, self._clip_ws(state["obj"] + delta),
-                        state["obj"])
-        return dict(state, ee=ee, obj=obj)
+    @cached_property
+    def engine(self):
+        return Engine(self._model(), n_substeps=1)
+
+    @property
+    def model(self):
+        return self.engine.model
+
+    @property
+    def dt(self):
+        return self.model.timestep * self.frame_skip
+
+    def _advance(self, state, ctrl):
+        q, qd = self.engine.step(state["q"], state["qd"], ctrl,
+                                 self.frame_skip)
+        return dict(state, q=q, qd=qd)
+
+    def _ee(self, state):
+        return state["q"][:3]
+
+    def diagnostics(self, samples):
+        out = {}
+        for k in self.diagnostics_keys:
+            if k in samples["env_infos"]:
+                out[f"Average{k[0].upper()}{k[1:]}"] = jnp.mean(
+                    samples["env_infos"][k])
+        return out
 
 
 @register_env("SawyerPushEnv")
@@ -57,9 +81,19 @@ class SawyerPushEnv(SawyerBase):
     """Push the puck to a sampled goal on the table (sawyer_push.py).
 
     Task = goal (x, y) for the object; obs = [ee(3), obj(3)];
-    reward = -(reachDist + placeDist) like multiworld's push metric."""
+    reward = -(reachDist + placeDist); the puck moves only by real
+    EE-puck contact forces and decelerates by table friction."""
 
     observation_space: Box = Box(-jnp.inf, jnp.inf, (6,))
+
+    def _model(self):
+        return sawyer_push_model()
+
+    def _obj(self, state):
+        return state["q"][3:6]
+
+    def _obs(self, state):
+        return jnp.concatenate([self._ee(state), self._obj(state)])
 
     def sample_tasks(self, key, n_tasks):
         return jax.random.uniform(
@@ -68,22 +102,21 @@ class SawyerPushEnv(SawyerBase):
 
     def reset(self, key, task):
         ke, ko = jax.random.split(key)
-        ee = jnp.array([0.0, 0.45, 0.1]) + jax.random.uniform(
-            ke, (3,), jnp.float32, -0.02, 0.02)
-        obj = jnp.concatenate([
-            jax.random.uniform(ko, (2,), jnp.float32, -0.08, 0.08)
-            + jnp.array([0.0, 0.6]), jnp.array([0.02])])
-        state = dict(ee=ee, obj=obj)
-        return state, jnp.concatenate([ee, obj])
+        q = jnp.asarray(self.model.init_qpos, jnp.float32)
+        q = q.at[:3].add(jax.random.uniform(ke, (3,), jnp.float32,
+                                            -0.02, 0.02))
+        q = q.at[3:5].add(jax.random.uniform(ko, (2,), jnp.float32,
+                                             -0.08, 0.08))
+        state = dict(q=q, qd=jnp.zeros_like(q))
+        return state, self._obs(state)
 
     def step(self, state, action, task, key):
-        state = self._move(state, action)
-        reach_dist = jnp.linalg.norm(state["ee"] - state["obj"])
-        place_dist = jnp.linalg.norm(state["obj"][:2] - task)
+        state = self._advance(state, jnp.clip(action[:3], -1.0, 1.0))
+        reach_dist = jnp.linalg.norm(self._ee(state) - self._obj(state))
+        place_dist = jnp.linalg.norm(self._obj(state)[:2] - task)
         reward = -(reach_dist + place_dist)
-        obs = jnp.concatenate([state["ee"], state["obj"]])
         info = dict(reachDist=reach_dist, placeDist=place_dist)
-        return state, obs, reward, jnp.array(False), info
+        return (state, self._obs(state), reward, jnp.array(False), info)
 
 
 @register_env("SawyerPushSimpleEnv")
@@ -102,59 +135,64 @@ class SawyerPushSimpleEnv(SawyerPushEnv):
 class SawyerDoorEnv(SawyerBase):
     """Open a door to a sampled target angle (sawyer_door.py).
 
-    Task = target door angle; the door handle follows the EE when grasped;
-    obs = [ee(3), door_angle, handle(3)]."""
+    Task = target door angle; the door is a hinged panel the EE pushes
+    open through the handle contact sphere; obs = [ee(3), angle,
+    handle(3)]."""
 
     observation_space: Box = Box(-jnp.inf, jnp.inf, (7,))
     hinge_pos: tuple = (0.2, 0.7, 0.1)
     door_len: float = 0.25
     diagnostics_keys = ("reachDist", "angleDelta")
 
+    def _model(self):
+        return sawyer_door_model(self.hinge_pos, self.door_len)
+
     def _handle(self, angle):
         hp = jnp.asarray(self.hinge_pos)
         return hp + self.door_len * jnp.array(
             [-jnp.cos(angle), -jnp.sin(angle), 0.0])
 
+    def _obs(self, state):
+        angle = state["q"][3]
+        return jnp.concatenate([self._ee(state), angle[None],
+                                self._handle(angle)])
+
     def sample_tasks(self, key, n_tasks):
         return jax.random.uniform(key, (n_tasks,), jnp.float32, 0.0, 0.83)
 
     def reset(self, key, task):
-        ee = jnp.array([0.0, 0.45, 0.1]) + jax.random.uniform(
-            key, (3,), jnp.float32, -0.02, 0.02)
-        angle = jnp.zeros(())
-        state = dict(ee=ee, angle=angle)
-        return state, jnp.concatenate([ee, angle[None],
-                                       self._handle(angle)])
+        q = jnp.asarray(self.model.init_qpos, jnp.float32)
+        q = q.at[:3].add(jax.random.uniform(key, (3,), jnp.float32,
+                                            -0.02, 0.02))
+        state = dict(q=q, qd=jnp.zeros_like(q))
+        return state, self._obs(state)
 
     def step(self, state, action, task, key):
-        ee = self._clip_ws(state["ee"] + EE_SPEED * jnp.clip(action[:3],
-                                                             -1.0, 1.0))
-        handle = self._handle(state["angle"])
-        near = jnp.linalg.norm(ee - handle) < REACH_RADIUS
-        # grasped handle: door angle tracks the EE's angle about the hinge
-        hp = jnp.asarray(self.hinge_pos)
-        rel = ee - hp
-        ee_angle = jnp.arctan2(-rel[1], -rel[0])
-        angle = jnp.where(near, jnp.clip(ee_angle, 0.0, 1.2),
-                          state["angle"])
-        state = dict(ee=ee, angle=angle)
-        reach_dist = jnp.linalg.norm(ee - self._handle(angle))
+        state = self._advance(state, jnp.clip(action[:3], -1.0, 1.0))
+        angle = state["q"][3]
+        reach_dist = jnp.linalg.norm(self._ee(state) - self._handle(angle))
         angle_delta = jnp.abs(angle - task)
         reward = -(reach_dist + angle_delta)
-        obs = jnp.concatenate([ee, angle[None], self._handle(angle)])
         info = dict(reachDist=reach_dist, angleDelta=angle_delta)
-        return state, obs, reward, jnp.array(False), info
+        return (state, self._obs(state), reward, jnp.array(False), info)
 
 
 @register_env("SawyerPickAndPlaceEnv")
 @dataclass(frozen=True)
-class SawyerPickAndPlaceEnv(SawyerBase):
-    """Pick the object and place it at a 3D goal (sawyer_pick_and_place.py).
+class SawyerPickAndPlaceEnv(SawyerPushEnv):
+    """Pick the object and place it at a 3D goal
+    (sawyer_pick_and_place.py). Task = goal (x, y, z); action gains a
+    gripper channel; while grasped (near + gripper closed) the object is
+    carried at the EE tip, on release it falls and lands through real
+    contact."""
 
-    Task = goal (x, y, z); the object is carried while the EE grasps it."""
+    action_space: Box = Box(-1.0, 1.0, (4,))
+    # object rests just below the EE sphere while held (spheres touching,
+    # zero penalty force at the hold point)
+    hold_offset: tuple = (0.0, 0.0, -0.07)
 
-    observation_space: Box = Box(-jnp.inf, jnp.inf, (6,))
-    action_space: Box = Box(-1.0, 1.0, (4,))  # + gripper
+    def _model(self):
+        return sawyer_pick_model()
 
     def sample_tasks(self, key, n_tasks):
         return jax.random.uniform(
@@ -162,29 +200,24 @@ class SawyerPickAndPlaceEnv(SawyerBase):
             jnp.array([-0.15, 0.5, 0.05]), jnp.array([0.15, 0.7, 0.25]))
 
     def reset(self, key, task):
-        ke, ko = jax.random.split(key)
-        ee = jnp.array([0.0, 0.45, 0.1]) + jax.random.uniform(
-            ke, (3,), jnp.float32, -0.02, 0.02)
-        obj = jnp.concatenate([
-            jax.random.uniform(ko, (2,), jnp.float32, -0.08, 0.08)
-            + jnp.array([0.0, 0.6]), jnp.array([0.02])])
-        state = dict(ee=ee, obj=obj, grasp=jnp.zeros(()))
-        return state, jnp.concatenate([ee, obj])
+        state, obs = super().reset(key, task)
+        return dict(state, grasp=jnp.zeros(())), obs
 
     def step(self, state, action, task, key):
-        ee = self._clip_ws(state["ee"] + EE_SPEED * jnp.clip(action[:3],
-                                                             -1.0, 1.0))
-        near = jnp.linalg.norm(ee - state["obj"]) < REACH_RADIUS
+        state = self._advance(state, jnp.clip(action[:3], -1.0, 1.0))
+        near = (jnp.linalg.norm(self._ee(state) - self._obj(state))
+                < REACH_RADIUS)
         grasping = jnp.logical_and(near, action[3] > 0.0)
-        obj = jnp.where(grasping, ee, state["obj"])
-        # gravity drops an ungrasped object to the table
-        obj = jnp.where(grasping, obj,
-                        obj.at[2].set(jnp.maximum(obj[2] - 0.02, 0.02)))
-        state = dict(ee=ee, obj=obj,
+        # kinematic attach: the object tracks the EE tip while grasped
+        hold = self._ee(state) + jnp.asarray(self.hold_offset)
+        q = jnp.where(grasping, state["q"].at[3:6].set(hold), state["q"])
+        qd = jnp.where(grasping,
+                       state["qd"].at[3:6].set(state["qd"][:3]),
+                       state["qd"])
+        state = dict(state, q=q, qd=qd,
                      grasp=grasping.astype(jnp.float32))
-        reach_dist = jnp.linalg.norm(ee - obj)
-        place_dist = jnp.linalg.norm(obj - task)
+        reach_dist = jnp.linalg.norm(self._ee(state) - self._obj(state))
+        place_dist = jnp.linalg.norm(self._obj(state) - task)
         reward = -(reach_dist + place_dist)
-        obs = jnp.concatenate([ee, obj])
         info = dict(reachDist=reach_dist, placeDist=place_dist)
-        return state, obs, reward, jnp.array(False), info
+        return (state, self._obs(state), reward, jnp.array(False), info)

@@ -314,7 +314,10 @@ class Trainer:
                 "Time-InnerStep": t_inner,
                 "Time-OuterStep": t_outer,
                 "Time-MAMLSteps": t_inner + t_outer,
-                "PolicyExecTime": t_policy,
+                # clamp the re-timed policy share into the measured sampling
+                # window so PolicyExec + EnvExec == Time-Sampling even when
+                # host noise makes the re-timing exceed the fused phase
+                "PolicyExecTime": min(t_policy, t_sampling),
                 "EnvExecTime": max(t_sampling - t_policy, 0.0),
             }
         metrics.update(self._phase_times)

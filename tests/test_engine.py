@@ -223,7 +223,8 @@ def test_fluid_forces_match_qfrc_passive():
 
 
 @pytest.mark.parametrize("name,nsub", [("half_cheetah", 1), ("walker2d", 1),
-                                       ("hopper", 1), ("ant", 8)])
+                                       ("hopper", 1), ("ant", 2),
+                                       ("humanoid", 2)])
 def test_rollout_stability(name, nsub):
     """Random-action rollouts stay finite and above ground."""
     model = get_model(name)
@@ -245,6 +246,34 @@ def test_rollout_stability(name, nsub):
     assert bool(jnp.all(jnp.isfinite(qf)))
     assert bool(jnp.all(jnp.isfinite(qdf)))
     assert float(jnp.max(vmax)) < 200.0
+
+
+@pytest.mark.parametrize("name", ["ant", "humanoid"])
+def test_gimbal_lock_stays_finite(name):
+    """Regression: at free-root gimbal lock (pitch = pi/2 on the 3-hinge
+    Euler decomposition) the mass matrix is exactly singular; the round-1
+    engine's unregularized float32 Cholesky returned NaN there, permanently
+    poisoning never-done envs (AntRandGoal NaN'd at itr 2). The solve_reg
+    Tikhonov term must keep long flailing rollouts through/near the
+    singularity finite."""
+    model = get_model(name)
+    eng = Engine(model, n_substeps=2)
+    q0 = jnp.asarray(model.init_qpos, jnp.float32).at[4].set(jnp.pi / 2)
+    qd0 = jnp.zeros(model.nv).at[3].set(2.0)  # rolling through the lock
+
+    @jax.jit
+    def roll(key):
+        def body(carry, k):
+            q, qd = carry
+            a = jax.random.uniform(k, (model.nu,), jnp.float32, -1.0, 1.0)
+            q, qd = eng.step(q, qd, a, 5)
+            return (q, qd), None
+        return jax.lax.scan(body, (q0, qd0),
+                            jax.random.split(key, 60))[0]
+
+    qf, qdf = roll(jax.random.PRNGKey(3))
+    assert bool(jnp.all(jnp.isfinite(qf)))
+    assert bool(jnp.all(jnp.isfinite(qdf)))
 
 
 def test_energy_conservation_no_contact():

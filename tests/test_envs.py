@@ -173,3 +173,71 @@ class TestRandParams:
         dd = np.asarray(tasks["dof_damping"])
         assert dd.min() >= 1.3 ** -1.0 - 1e-5
         assert dd.max() <= 1.3 ** 1.0 + 1e-5
+
+
+class TestSawyerMechanics:
+    """The engine-backed manipulation scenes: pushing, door opening and
+    grasping happen through real contact forces (pair contacts,
+    engine._pair_terms), not kinematic teleports."""
+
+    @staticmethod
+    def _drive(env, state, task, n, act_fn):
+        key = jax.random.PRNGKey(0)
+        step = jax.jit(lambda s, a: env.step(s, a, task, key))
+        for _ in range(n):
+            state, obs, r, d, info = step(state, act_fn(state))
+        return state, info
+
+    def test_push_moves_puck_by_contact(self):
+        env = make_env("SawyerPushEnv")
+        task = env.sample_tasks(jax.random.PRNGKey(0), 1)[0]
+        state, _ = env.reset(jax.random.PRNGKey(1), task)
+        start = np.asarray(state["q"][3:6])
+        state, info = self._drive(
+            env, state, task, 100,
+            lambda s: jnp.clip(8 * (s["q"][3:6] - s["q"][:3]), -1, 1))
+        moved = np.linalg.norm(np.asarray(state["q"][3:5]) - start[:2])
+        assert moved > 0.05, moved
+        assert bool(jnp.all(jnp.isfinite(state["q"])))
+
+    def test_door_opens_only_through_handle_push(self):
+        env = make_env("SawyerDoorEnv")
+        task = env.sample_tasks(jax.random.PRNGKey(0), 1)[0]
+        state, _ = env.reset(jax.random.PRNGKey(1), task)
+        # idle EE: door stays closed
+        idle, _ = self._drive(env, state, task, 50,
+                              lambda s: jnp.zeros(3))
+        assert abs(float(idle["q"][3])) < 0.02
+        # approach from the +y side and sweep toward -y: door opens
+        state, _ = self._drive(
+            env, state, task, 60,
+            lambda s: jnp.clip(8 * (jnp.array([-0.05, 0.78, 0.1])
+                                    - s["q"][:3]), -1, 1))
+        state, _ = self._drive(
+            env, state, task, 150,
+            lambda s: jnp.clip(
+                8 * (env._handle(s["q"][3]) + jnp.array([0.0, 0.02, 0.0])
+                     - s["q"][:3]) + jnp.array([0.0, -0.6, 0.0]), -1, 1))
+        assert float(state["q"][3]) > 0.5
+
+    def test_grasp_carries_and_release_drops(self):
+        env = make_env("SawyerPickAndPlaceEnv")
+        task = env.sample_tasks(jax.random.PRNGKey(0), 1)[0]
+        state, _ = env.reset(jax.random.PRNGKey(1), task)
+        # reach the object with the gripper closed
+        state, _ = self._drive(
+            env, state, task, 80,
+            lambda s: jnp.clip(jnp.concatenate(
+                [8 * (s["q"][3:6] - s["q"][:3]), jnp.ones(1)]), -1, 1))
+        assert float(state["grasp"]) == 1.0
+        # lift: object tracks the EE upward
+        state, _ = self._drive(
+            env, state, task, 60,
+            lambda s: jnp.array([0.0, 0.0, 1.0, 1.0]))
+        assert float(state["q"][5]) > 0.12
+        # open the gripper: object falls back to the table by gravity
+        state, _ = self._drive(
+            env, state, task, 60,
+            lambda s: jnp.array([0.0, 0.0, 0.0, -1.0]))
+        assert float(state["grasp"]) == 0.0
+        assert float(state["q"][5]) < 0.06
