@@ -29,6 +29,12 @@ def main():
                     help="rollout backend: the general scan engine "
                          "(default) or the Pallas VMEM megakernel fast "
                          "path (ops/pallas_rollout.py)")
+    ap.add_argument("--workload", choices=["pointmass", "cheetah"],
+                    default="pointmass",
+                    help="pointmass = the reference's default benchmark "
+                         "config; cheetah = the same meta-iteration on "
+                         "HalfCheetahRandVel (rigid-body engine in the "
+                         "rollout scan)")
     args = ap.parse_args()
     import jax
     # persistent compilation cache: first-ever run pays the (remote) XLA
@@ -47,7 +53,11 @@ def main():
     from promp_tpu.trainer import Trainer
 
     meta_batch_size, rollouts, horizon = 40, 20, 100
-    env = normalize(MetaPointEnvCorner())
+    if args.workload == "cheetah":
+        from promp_tpu.envs import make_env
+        env = normalize(make_env("HalfCheetahRandVelEnv"))
+    else:
+        env = normalize(MetaPointEnvCorner())
     policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
                                action_dim=env.action_dim,
                                hidden_sizes=(64, 64))
@@ -96,7 +106,7 @@ def main():
         ts, os_, metrics = run_iter(ts, os_, k)
     jax.block_until_ready(ts)
 
-    n_timed = 10
+    n_timed = 10 if args.workload == "pointmass" else 4
     t0 = time.perf_counter()
     for i in range(n_timed):
         rng, k = jax.random.split(rng)
@@ -107,8 +117,8 @@ def main():
     steps_per_s = steps_per_iter * n_timed / elapsed
     suffix = "_pallas" if args.backend == "pallas" else ""
     print(json.dumps({
-        "metric":
-            f"env_steps_per_s_promp_pointmass_full_meta_iteration{suffix}",
+        "metric": (f"env_steps_per_s_promp_{args.workload}"
+                   f"_full_meta_iteration{suffix}"),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2),

@@ -49,7 +49,7 @@ class HumanOutputFormat(KVWriter, SeqWriter):
         self.file = file
         self.own_file = isinstance(file, str)
         if self.own_file:
-            self.file = open(file, "at")
+            self.file = open(file, "wt")  # reference logger.py:41
 
     def writekvs(self, kvs):
         key2str = {}
@@ -84,7 +84,7 @@ class HumanOutputFormat(KVWriter, SeqWriter):
 
 class JSONOutputFormat(KVWriter):
     def __init__(self, filename):
-        self.file = open(filename, "at")
+        self.file = open(filename, "wt")  # reference logger.py:98
 
     def writekvs(self, kvs):
         out = {}
@@ -104,7 +104,7 @@ class CSVOutputFormat(KVWriter):
 
     def __init__(self, filename):
         self.filename = filename
-        self.file = open(filename, "a+t")
+        self.file = open(filename, "w+t")  # reference logger.py:114
         self.keys = []
 
     def writekvs(self, kvs):
