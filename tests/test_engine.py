@@ -320,3 +320,40 @@ def test_rand_param_mods_change_dynamics():
             "body_inertia": jnp.full((model.nb, 3), 3.0)}
     q2, _ = jax.jit(lambda: eng.step(q, qd, a, 5, mods))()
     assert not np.allclose(np.asarray(q1), np.asarray(q2))
+
+
+def test_pair_contact_conserves_momentum():
+    """Two free spheres colliding head-on (no gravity/ground/damping):
+    the sphere-sphere pair forces are equal and opposite through the
+    relative Jacobian, so total linear momentum is conserved through the
+    collision and the spheres separate (no sticking)."""
+    import dataclasses
+    from promp_tpu.envs.mujoco.scenes import sawyer_push_model
+    model = sawyer_push_model()
+    model = dataclasses.replace(
+        model, gravity=0.0,
+        dof_damping=np.zeros_like(model.dof_damping),
+        dof_armature=np.zeros_like(model.dof_armature),
+        jnt_range=np.zeros_like(model.jnt_range),     # no limits
+        con_skip_ground=(1, 1),                       # no ground plane
+        init_qpos=np.array([-0.1, 0.5, 0.1, 0.1, 0.5, 0.1]),
+        init_qvel=np.array([0.5, 0.0, 0.0, -0.1, 0.0, 0.0]))
+    eng = Engine(model, n_substeps=1)
+    q = jnp.asarray(model.init_qpos, jnp.float32)
+    qd = jnp.asarray(model.init_qvel, jnp.float32)
+    m1, m2 = model.body_mass
+    p0 = m1 * qd[0] + m2 * qd[3]
+
+    @jax.jit
+    def roll(q, qd):
+        def body(carry, _):
+            q, qd = carry
+            return eng.step(q, qd, jnp.zeros(model.nu), 1), None
+        return jax.lax.scan(body, (q, qd), None, length=400)[0]
+
+    qf, qdf = roll(q, qd)
+    p1 = m1 * qdf[0] + m2 * qdf[3]
+    np.testing.assert_allclose(float(p1), float(p0), rtol=5e-3, atol=1e-5)
+    # they collided (velocities changed) and separated afterwards
+    assert float(qdf[0]) < 0.5 - 1e-3
+    assert float(qf[3] - qf[0]) > 0.07 or float(qdf[3]) > float(qdf[0])
