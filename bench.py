@@ -29,6 +29,11 @@ def main():
                     help="rollout backend: the general scan engine "
                          "(default) or the Pallas VMEM megakernel fast "
                          "path (ops/pallas_rollout.py)")
+    ap.add_argument("--mode", choices=["fused", "default"], default="fused",
+                    help="fused = async dispatch, one sync at the end "
+                         "(throughput mode); default = the trainer's "
+                         "phase-split path with amortized Time-* timing "
+                         "(timing_every=10), i.e. what run_scripts use")
     ap.add_argument("--workload", choices=["pointmass", "cheetah"],
                     default="pointmass",
                     help="pointmass = the reference's default benchmark "
@@ -78,6 +83,33 @@ def main():
 
     rng = jax.random.PRNGKey(0)
 
+    if args.mode == "default":
+        # the run_scripts path: phase-split iteration, amortized timing
+        # (one precisely-measured iteration in ten, single end sync else)
+        trainer.timing_every = 10
+        rng, k = jax.random.split(rng)
+        trainer._run_phases(k, measure=True)            # warmup + compile
+        n_timed = 10 if args.workload == "pointmass" else 4
+        t0 = time.perf_counter()
+        for i in range(n_timed):
+            rng, k = jax.random.split(rng)
+            trainer._run_phases(k, measure=(i % trainer.timing_every == 0))
+        # force real completion: pull bytes to the host — through the
+        # remote-TPU tunnel, block_until_ready can return once the op is
+        # enqueued remotely, which under-reports by orders of magnitude
+        jax.device_get(jax.tree.leaves(trainer.train_state)[0])
+        elapsed = time.perf_counter() - t0
+        steps_per_s = steps_per_iter * n_timed / elapsed
+        print(json.dumps({
+            "metric": (f"env_steps_per_s_promp_{args.workload}"
+                       "_full_meta_iteration_default_mode"),
+            "value": round(steps_per_s, 1),
+            "unit": "env-steps/s/chip",
+            "vs_baseline": round(steps_per_s / REFERENCE_ENV_STEPS_PER_S,
+                                 2),
+        }))
+        return
+
     def run_iter(train_state, opt_state, key):
         """One full meta-iteration from the trainer's jitted phases,
         dispatched asynchronously (no host syncs inside the loop)."""
@@ -104,14 +136,16 @@ def main():
     for i in range(2):
         rng, k = jax.random.split(rng)
         ts, os_, metrics = run_iter(ts, os_, k)
-    jax.block_until_ready(ts)
+    jax.device_get(jax.tree.leaves(ts)[0])
 
     n_timed = 10 if args.workload == "pointmass" else 4
     t0 = time.perf_counter()
     for i in range(n_timed):
         rng, k = jax.random.split(rng)
         ts, os_, metrics = run_iter(ts, os_, k)
-    jax.block_until_ready(ts)
+    # device_get, not block_until_ready: see the default-mode comment —
+    # the remote tunnel's ready signal does not imply execution finished
+    jax.device_get(jax.tree.leaves(ts)[0])
     elapsed = time.perf_counter() - t0
 
     steps_per_s = steps_per_iter * n_timed / elapsed

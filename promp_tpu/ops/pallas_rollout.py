@@ -32,16 +32,19 @@ def _rollout_kernel(goal_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     w3_ref, b3_ref, logstd_ref, obs0_ref, noise_ref,
                     obs_out, act_out, rew_out, mean_out,
                     *, horizon, scale, act_bound, sparse_radius):
-    log_std = logstd_ref[0, :]
+    # rank-2 per-task arrays carry a singleton axis after the task axis so
+    # their (1, 1, d) blocks satisfy Mosaic's last-two-dims-equal-array
+    # rule (the TPU lowering rejects (1, d) blocks of a (n_tasks, d) array)
+    log_std = logstd_ref[0, 0, :]
 
     def step(t, obs):
         # policy forward (obs: (N, 2))
         h = jnp.tanh(jnp.dot(obs, w1_ref[0], preferred_element_type=jnp.float32)
-                     + b1_ref[0])
+                     + b1_ref[0, 0])
         h = jnp.tanh(jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
-                     + b2_ref[0])
+                     + b2_ref[0, 0])
         mean = jnp.dot(h, w3_ref[0],
-                       preferred_element_type=jnp.float32) + b3_ref[0]
+                       preferred_element_type=jnp.float32) + b3_ref[0, 0]
         noise = noise_ref[0, t]
         action = mean + noise * jnp.exp(log_std)
 
@@ -50,7 +53,7 @@ def _rollout_kernel(goal_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         scaled = jnp.clip(scaled, -act_bound, act_bound)
 
         new = obs + scaled
-        goal = goal_ref[0]
+        goal = goal_ref[0, 0]
         goal_d = jnp.sqrt(jnp.sum((new - goal) ** 2, axis=-1))
         dist_l1 = jnp.sum(jnp.abs(new), axis=-1)
         # nearest-corner test (point_env_2d_corner.py:68-75); corners are
@@ -136,21 +139,22 @@ def pallas_pointmass_rollout(task_params, goals, obs0, key, horizon=100,
         kernel,
         grid=grid,
         in_specs=[
-            task_block(2),                           # goal
+            task_block(1, 2),                        # goal
             task_block(2, hidden0),
-            task_block(hidden0),
+            task_block(1, hidden0),
             task_block(hidden0, hidden1),
-            task_block(hidden1),
+            task_block(1, hidden1),
             task_block(hidden1, act_dim),
-            task_block(act_dim),
-            task_block(act_dim),                     # log_std
+            task_block(1, act_dim),
+            task_block(1, act_dim),                  # log_std
             task_block(n_envs, 2),                   # obs0
             task_block(horizon, n_envs, act_dim),    # noise
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(goals, w1, b1, w2, b2, w3, b3, log_std, obs0, noise)
+    )(goals[:, None], w1, b1[:, None], w2, b2[:, None], w3, b3[:, None],
+      log_std[:, None], obs0, noise)
 
     to_env_layout = lambda x: jnp.swapaxes(x, 1, 2)
     log_std_b = jnp.broadcast_to(

@@ -305,7 +305,10 @@ class Trainer:
         to = time.time()
         self.train_state, self.opt_state, metrics = self._outer(
             self.train_state, self.opt_state, all_data, self.hparams)
-        metrics = jax.device_get(metrics)
+        # ONE host transfer for metrics + per-round stats: through a
+        # remote-TPU tunnel each device_get is a full round trip, and the
+        # per-iteration host cost is latency-, not bandwidth-, bound
+        metrics, round_stats = jax.device_get((metrics, round_stats))
         if measure:
             t_outer = time.time() - to
             self._phase_times = {
@@ -321,7 +324,7 @@ class Trainer:
                 "EnvExecTime": max(t_sampling - t_policy, 0.0),
             }
         metrics.update(self._phase_times)
-        for step, stats in enumerate(jax.device_get(round_stats)):
+        for step, stats in enumerate(round_stats):
             for k, v in stats.items():
                 metrics[f"Step_{step}-{k}"] = v
         return metrics, round_stats
