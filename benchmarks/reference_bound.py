@@ -1,0 +1,137 @@
+"""Measure an optimistic per-step host-overhead bound for the reference
+stack (VERDICT r2 item 9: replace the bare 15k steps/s estimate with a
+measurement).
+
+The reference's sampling loop (SURVEY.md §3.2, meta_sampler.py:87-128)
+pays, per env step, on the host:
+
+  1. a policy forward for ALL (meta_batch_size * envs_per_task) envs —
+     sess.run of a (64,64) MLP + numpy action noise
+     (meta_gaussian_mlp_policy.py:118-157, gaussian_mlp_policy.py:110-116);
+  2. one multiprocessing.Pipe round-trip PER META-TASK: pickle the task's
+     action block, unpickle the (obs, reward, done, info) result tuples
+     (vectorized_env_executor.py:119-144);
+  3. a Python env.step call per env inside the workers (:205-214), plus
+     the parent's per-env bookkeeping loop appending to running_paths
+     (meta_sampler.py:105-128).
+
+This script times numpy/pickle/python stand-ins for exactly those pieces
+on THIS host and prints the implied env-steps/s upper bound for the
+reference's default point-mass workload (40 tasks x 20 envs, obs_dim 2).
+It is an OPTIMISTIC bound: it omits TF session dispatch overhead, the
+feed-dict construction (which for post-update sampling re-feeds every
+adapted parameter array every step, meta_gaussian_mlp_policy.py:139-157),
+process scheduling, and pipe syscall latency (we pickle to bytes in
+memory instead of writing through a socket).
+
+Run:  python benchmarks/reference_bound.py
+"""
+from __future__ import annotations
+
+import json
+import pickle
+import time
+
+import numpy as np
+
+META_BATCH = 40
+ENVS_PER_TASK = 20
+OBS_DIM = 2
+ACT_DIM = 2
+N_ENVS = META_BATCH * ENVS_PER_TASK
+
+
+def timeit(fn, min_time=0.5):
+    fn()  # warmup
+    n, t0 = 0, time.perf_counter()
+    while True:
+        fn()
+        n += 1
+        dt = time.perf_counter() - t0
+        if dt > min_time:
+            return dt / n
+
+
+def main():
+    rng = np.random.RandomState(0)
+    obs = rng.randn(N_ENVS, OBS_DIM).astype(np.float64)
+    w0 = rng.randn(OBS_DIM, 64) * 0.1
+    w1 = rng.randn(64, 64) * 0.1
+    w2 = rng.randn(64, ACT_DIM) * 0.1
+    log_std = np.zeros(ACT_DIM)
+
+    def policy_forward():
+        h = np.tanh(obs @ w0)
+        h = np.tanh(h @ w1)
+        mean = h @ w2
+        return mean + rng.normal(size=mean.shape) * np.exp(log_std)
+
+    actions = policy_forward()
+    per_task_actions = np.split(actions, META_BATCH)
+
+    def pipe_round_trip():
+        # parent->worker: per-task action block; worker->parent: per-env
+        # (obs, reward, done, info) tuples (vectorized_env_executor.py:
+        # 137-144, 205-214) — both directions pickled
+        for a in per_task_actions:
+            blob = pickle.dumps(a, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.loads(blob)
+        results = [
+            [(obs[0], 1.0, False, {}) for _ in range(ENVS_PER_TASK)]
+            for _ in range(META_BATCH)
+        ]
+        for r in results:
+            blob = pickle.dumps(r, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.loads(blob)
+
+    state = {"pos": np.zeros(OBS_DIM)}
+
+    def env_step_one(a):
+        # the reference point env's numpy step (point_env_2d_corner.py):
+        # clip, integrate, reward branch — trivial numpy on tiny arrays
+        a = np.clip(a, -0.2, 0.2)
+        state["pos"] = state["pos"] + a
+        reward = -np.sum(np.abs(state["pos"]))
+        return state["pos"], reward, False, {}
+
+    def env_steps():
+        for a in actions:
+            env_step_one(a)
+
+    running = [dict(observations=[], actions=[], rewards=[])
+               for _ in range(N_ENVS)]
+
+    def bookkeeping():
+        # meta_sampler.py:105-128: per-env python append loop
+        for i in range(N_ENVS):
+            r = running[i]
+            r["observations"].append(obs[i])
+            r["actions"].append(actions[i])
+            r["rewards"].append(1.0)
+        for r in running:
+            r["observations"].clear(), r["actions"].clear()
+            r["rewards"].clear()
+
+    t_policy = timeit(policy_forward)
+    t_pipe = timeit(pipe_round_trip)
+    t_env = timeit(env_steps)
+    t_book = timeit(bookkeeping)
+    t_total = t_policy + t_pipe + t_env + t_book
+    steps_per_s = N_ENVS / t_total
+
+    print(json.dumps({
+        "host_overhead_per_env_step_us": {
+            "policy_forward": round(t_policy / N_ENVS * 1e6, 3),
+            "pipe_pickle_round_trip": round(t_pipe / N_ENVS * 1e6, 3),
+            "env_step": round(t_env / N_ENVS * 1e6, 3),
+            "path_bookkeeping": round(t_book / N_ENVS * 1e6, 3),
+        },
+        "implied_reference_env_steps_per_s_bound": round(steps_per_s, 1),
+        "note": ("optimistic bound: omits TF sess.run dispatch, feed-dict "
+                 "construction, process scheduling, and real socket "
+                 "latency"),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,10 @@ class Engine:
     # hard cap on joint velocities: keeps extreme-torque excursions finite
     # so a diverging env instance cannot poison a whole rollout batch with
     # NaNs (MuJoCo's constraint solver implicitly bounds these; real
-    # locomotion qvel stays well under ~30)
-    max_qvel: float = 1.0e2
+    # locomotion qvel stays well under ~30, and legitimate tumbling
+    # transients under extreme exploration torques stay under ~300 — the
+    # cap is set well above both so it only fires on genuine divergence)
+    max_qvel: float = 3.0e2
     # relative Tikhonov regularization of the (M + hD) solve. The free-root
     # Euler decomposition (3 hinges) makes M exactly singular at gimbal
     # lock (pitch = +-pi/2) — a flipped ant/humanoid — where a float32
@@ -545,6 +547,12 @@ class Engine:
         # springs, active limit spring-dampers
         diag_cd = (h * (damping + c_lim)
                    + h * h * (k_lim + stiffness))
+        # consistent implicit Euler for the position-dependent (stiffness)
+        # forces: f(q⁺) ≈ f(q) − hK v⁺ contributes h²K qdd to A *and*
+        # −hK v to the right-hand side. Omitting the RHS term (pre-round-3
+        # behavior) acts as extra artificial damping of the approach
+        # velocity and shifts the spring response vs MuJoCo.
+        tau = tau - h * (k_lim + stiffness) * qd
         if len(m.con_body):
             tau_c, _, J, cn, ct, kn = self._contact_terms(q, qd, mods, kin)
             tau = tau + tau_c
@@ -555,6 +563,9 @@ class Engine:
             coef = jnp.stack([h * ct, h * ct, h * cn + h * h * kn],
                              axis=-1)                        # (nc, 3)
             A_con = jnp.einsum("civ,ci,ciw->vw", J, coef, J)
+            # RHS mate of the h² Jnᵀ K Jn term (see diag comment above)
+            vz = jnp.einsum("cv,v->c", J[:, 2], qd)
+            tau = tau - h * jnp.einsum("cv,c->v", J[:, 2], kn * vz)
         else:
             A_con = 0.0
         if len(m.pair_a):
@@ -562,6 +573,8 @@ class Engine:
             tau = tau + tau_p
             A_con = A_con + jnp.einsum(
                 "civ,cij,cjw->vw", Jp_, h * Cp + h * h * Kp, Jp_)
+            tau = tau - h * jnp.einsum(
+                "civ,cij,cjw,w->v", Jp_, Kp, Jp_, qd)
         # A is SPD up to the gimbal-lock singularity of Euler free roots —
         # the scale-aware Tikhonov term keeps the Cholesky finite there
         reg = self.solve_reg * (jnp.trace(M) / m.nv)

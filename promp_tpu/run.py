@@ -192,6 +192,9 @@ def build(config):
         n_itr=config.get("n_itr", 1001),
         seed=config.get("seed", 1),
         fused=config.get("fused", False),
+        # per-iteration phase timing by default (reference-faithful);
+        # long benchmark runs set e.g. 10 to amortize the host barriers
+        timing_every=config.get("timing_every", 1),
         mesh=mesh,
     )
     return trainer

@@ -59,9 +59,10 @@ class Trainer:
     # throughput if taken every iteration (round-1 RESULTS.md). Every
     # ``timing_every``-th iteration is measured precisely; the other
     # iterations run barrier-free (one sync at iteration end) and carry
-    # the last measured values forward. timing_every=1 restores the
-    # reference's per-iteration timing exactly (meta_trainer.py:131-142).
-    timing_every: int = 10
+    # the last measured values forward. The default 1 is the reference's
+    # per-iteration timing exactly (meta_trainer.py:131-142); bench.py and
+    # long validation runs opt into amortized timing explicitly.
+    timing_every: int = 1
     # jax.profiler trace capture (SURVEY.md §5.1: the reference has only
     # coarse wall-clock keys; we add real device traces): directory to
     # write a trace into, and which iteration to capture.
@@ -145,8 +146,16 @@ class Trainer:
 
         def do_rollout(task_params, tasks, rng, floor):
             if use_pallas:
-                # kernel reads log_std raw (no floor); identical to the
-                # floored path unless log_std reaches log(1e-6)
+                # the kernel reads log_std raw, so apply the variable-path
+                # std floor (policies/gaussian_mlp.py semantics) on the
+                # params before handing them in — one jnp.maximum on a
+                # (tasks, act_dim) array, keeping the two backends exactly
+                # equivalent even when log_std reaches log(1e-6)
+                task_params = dict(task_params)
+                ls = task_params["log_std_network/log_std_var"]
+                task_params["log_std_network/log_std_var"] = jnp.where(
+                    floor,
+                    jnp.maximum(ls, self.policy.min_log_std), ls)
                 return pallas_rollout(task_params, tasks, rng)
             return rollout(self.env, self.policy, task_params, tasks, rng,
                            self.rollouts_per_meta_task, self.max_path_length,

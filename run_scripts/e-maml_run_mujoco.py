@@ -1,4 +1,4 @@
-"""E-MAML-TRPO on HalfCheetah-RandVel.
+"""E-MAML-TRPO on HalfCheetah-RandDirec.
 
 Entry point mirroring reference run_scripts/e-maml_run_mujoco.py
 (TRPOMAML with exploration=True, e-maml_run_mujoco.py:53-61).
@@ -14,7 +14,7 @@ DEFAULT_CONFIG = {
     'seed': 1,
     'algo': 'TRPOMAML',
     'baseline': 'LinearFeatureBaseline',
-    'env': 'HalfCheetahRandVelEnv',
+    'env': 'HalfCheetahRandDirecEnv',
     'rollouts_per_meta_task': 20,
     'max_path_length': 100,
     'parallel': True,

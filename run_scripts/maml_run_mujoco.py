@@ -1,4 +1,4 @@
-"""MAML-TRPO on HalfCheetah-RandVel.
+"""MAML-TRPO on HalfCheetah-RandDirec.
 
 Entry point mirroring reference run_scripts/maml_run_mujoco.py
 (TRPOMAML with exploration=False, :53-61; inner_type log_likelihood).
@@ -14,7 +14,7 @@ DEFAULT_CONFIG = {
     'seed': 1,
     'algo': 'TRPOMAML',
     'baseline': 'LinearFeatureBaseline',
-    'env': 'HalfCheetahRandVelEnv',
+    'env': 'HalfCheetahRandDirecEnv',
     'rollouts_per_meta_task': 20,
     'max_path_length': 100,
     'parallel': True,

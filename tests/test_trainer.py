@@ -314,10 +314,11 @@ class TestPhaseTiming:
         for row in rows:
             assert row["Time-SampleProc"] != ""
             assert row["PolicyExecTime"] != ""
-        # itr 1 is unmeasured -> carries itr 0's values verbatim
+        # itr 1 is unmeasured -> carries itr 0's values verbatim. (itr 2
+        # is re-measured, but two independent wall-clock measurements can
+        # legitimately collide at the logger's string precision, so only
+        # the carry-forward equality is asserted.)
         assert rows[1]["Time-Sampling"] == rows[0]["Time-Sampling"]
-        # itr 2 is measured again -> fresh values (different wall-clock)
-        assert rows[2]["Time-Sampling"] != rows[1]["Time-Sampling"]
 
 
 class TestCompatSampler:
