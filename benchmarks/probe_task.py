@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+# sitecustomize may pin a remote-TPU platform that overrides JAX_PLATFORMS
+# and serializes on the exclusive chip claim; probes are cheap enough for
+# CPU, so force it (set PROMP_PROBE_PLATFORM=tpu to opt out).
+jax.config.update("jax_platforms",
+                  os.environ.get("PROMP_PROBE_PLATFORM", "cpu"))
+
 import jax.numpy as jnp
 import numpy as np
 

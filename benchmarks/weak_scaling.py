@@ -36,6 +36,11 @@ N_ITERS = 5
 
 def child(n_devices: int):
     import jax
+    # the host may pin a remote-TPU platform via sitecustomize, which
+    # overrides the JAX_PLATFORMS env var — merely importing jax would
+    # then queue on the exclusive chip claim. Force the CPU backend the
+    # way tests/conftest.py does.
+    jax.config.update("jax_platforms", "cpu")
 
     from promp_tpu.algos.promp import ProMP
     from promp_tpu.envs import MetaPointEnvCorner, normalize
