@@ -9,9 +9,11 @@ rounds = 160,000 env steps per meta-iteration
 With no arguments it runs the full suite and prints ONE JSON line
 {"metric", "value", "unit", "vs_baseline"} per workload:
 
-  * pointmass fused          — scan engine, async dispatch (headline)
+  * pointmass fused          — scan engine, async phase dispatch (headline)
   * pointmass pallas         — the VMEM megakernel rollout backend
   * pointmass default mode   — the run_scripts phase-split path
+  * pointmass onejit         — the trainer's single-program iteration
+                               (one tunnel dispatch per meta-iteration)
   * cheetah fused            — HalfCheetahRandVel (rigid-body engine
                                in the rollout scan)
 
@@ -102,6 +104,32 @@ def run_default_mode(jax, workload):
     steps_per_s = steps_per_iter * n_timed / elapsed
     emit(f"env_steps_per_s_promp_{workload}_full_meta_iteration"
          "_default_mode",
+         round(steps_per_s, 1), "env-steps/s/chip",
+         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2))
+
+
+def run_onejit(jax, workload):
+    """The trainer's fully-fused iteration: ONE jitted program per
+    meta-iteration (task sampling -> rollouts -> adapt -> outer step),
+    i.e. one dispatch through the TPU tunnel instead of ~6 phase
+    dispatches. Compiles bigger, runs with the least host involvement."""
+    trainer = build_trainer(workload, "scan")
+    steps_per_iter = 160_000
+    rng = jax.random.PRNGKey(0)
+    ts, os_, hp = trainer.train_state, trainer.opt_state, trainer.hparams
+    for _ in range(2):
+        rng, k = jax.random.split(rng)
+        ts, os_, _m = trainer._iteration(ts, os_, hp, k)
+    jax.device_get(jax.tree.leaves(ts)[0])
+    n_timed = 10 if workload == "pointmass" else 4
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        rng, k = jax.random.split(rng)
+        ts, os_, _m = trainer._iteration(ts, os_, hp, k)
+    jax.device_get(jax.tree.leaves(ts)[0])
+    elapsed = time.perf_counter() - t0
+    steps_per_s = steps_per_iter * n_timed / elapsed
+    emit(f"env_steps_per_s_promp_{workload}_full_meta_iteration_onejit",
          round(steps_per_s, 1), "env-steps/s/chip",
          round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2))
 
@@ -208,7 +236,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="all",
                     choices=["all", "pointmass", "pointmass_pallas",
-                             "pointmass_default", "cheetah"],
+                             "pointmass_default", "pointmass_onejit",
+                             "cheetah"],
                     help="run one workload instead of the full suite")
     ap.add_argument("--no-mfu", action="store_true",
                     help="skip the FLOPs/MFU accounting lines")
@@ -230,6 +259,8 @@ def main():
         run_fused(jax, "pointmass", "pallas", mfu=False)
     if args.only in ("all", "pointmass_default"):
         run_default_mode(jax, "pointmass")
+    if args.only in ("all", "pointmass_onejit"):
+        run_onejit(jax, "pointmass")
     if args.only in ("all", "cheetah"):
         run_fused(jax, "cheetah", "scan", mfu=mfu)
 

@@ -32,9 +32,15 @@ TASKS_PER_DEVICE = 5
 ROLLOUTS = 20
 HORIZON = 100
 N_ITERS = 5
+# --fixed mode: keep the TOTAL load constant (the reference default's 40
+# tasks) while the device count grows. On an oversubscribed host (more
+# virtual devices than cores) wall-clock cannot drop, so equal times
+# across n directly measure the partitioning overhead XLA adds — the
+# complement of the weak-scaling table.
+FIXED_TASKS = 40
 
 
-def child(n_devices: int):
+def child(n_devices: int, fixed: bool = False):
     import jax
     # the host may pin a remote-TPU platform via sitecustomize, which
     # overrides the JAX_PLATFORMS env var — merely importing jax would
@@ -49,7 +55,7 @@ def child(n_devices: int):
     from promp_tpu.sampling.processor import SampleProcessor
     from promp_tpu.trainer import Trainer
 
-    meta_batch_size = TASKS_PER_DEVICE * n_devices
+    meta_batch_size = FIXED_TASKS if fixed else TASKS_PER_DEVICE * n_devices
     env = normalize(MetaPointEnvCorner())
     policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
                                action_dim=env.action_dim,
@@ -85,36 +91,42 @@ def child(n_devices: int):
                       "iter_s": elapsed, "steps_per_s": steps / elapsed}))
 
 
-def main():
+def main(fixed: bool):
     rows = []
     for n in (1, 2, 4, 8):
         env = dict(os.environ)
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + f" --xla_force_host_platform_device_count={n}"
                             ).strip()
-        env["JAX_PLATFORMS"] = "cpu"
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(n)],
-            env=env, capture_output=True, text=True, timeout=1800)
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("{")][-1]
-        rows.append(json.loads(line))
+        cmd = [sys.executable, __file__, "--child", str(n)]
+        if fixed:
+            cmd.append("--fixed")
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=1800)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(out.stdout, out.stderr, file=sys.stderr)
+            raise RuntimeError(f"child n={n} produced no result")
+        rows.append(json.loads(lines[-1]))
         print(f"# n={n} done: {rows[-1]['iter_s']*1e3:.1f} ms/iter",
               file=sys.stderr)
 
     t1 = rows[0]["iter_s"]
-    print("| devices | tasks | iter time (ms) | env-steps/s "
-          "| weak-scaling efficiency |")
+    kind = ("partitioning overhead (fixed 40-task load)" if fixed
+            else "weak-scaling efficiency")
+    print(f"| devices | tasks | iter time (ms) | env-steps/s | {kind} |")
     print("|---|---|---|---|---|")
     for r in rows:
         eff = t1 / r["iter_s"]
+        cell = (f"{(r['iter_s'] / t1 - 1) * 100:+.0f}%" if fixed
+                else f"{eff * 100:.0f}%")
         print(f"| {r['n_devices']} | {r['tasks']} "
               f"| {r['iter_s']*1e3:.1f} | {r['steps_per_s']:,.0f} "
-              f"| {eff*100:.0f}% |")
+              f"| {cell} |")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+        child(int(sys.argv[2]), fixed="--fixed" in sys.argv)
     else:
-        main()
+        main(fixed="--fixed" in sys.argv)
