@@ -9,7 +9,6 @@ mkdir -p benchmarks/validation
 RUNS=${@:-"
 promp_AntRandGoalEnv_long
 promp_Walker2DRandVelEnv_long
-promp_HumanoidRandDirecEnv_long
 "}
 for cfg in $RUNS; do
   out="benchmarks/validation/${cfg#promp_}"
