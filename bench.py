@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 # Measured by benchmarks/reference_bound.py on this host (2026-08-21):
@@ -243,6 +244,11 @@ def main():
                     help="skip the FLOPs/MFU accounting lines")
     args = ap.parse_args()
     import jax
+    # testing hook: PROMP_BENCH_PLATFORM=cpu forces the CPU backend (the
+    # host sitecustomize pins the TPU platform and overrides JAX_PLATFORMS)
+    if os.environ.get("PROMP_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["PROMP_BENCH_PLATFORM"])
     # persistent compilation cache: first-ever run pays the (remote) XLA
     # compile; subsequent driver runs start hot
     try:

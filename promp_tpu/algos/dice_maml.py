@@ -15,6 +15,14 @@ Semantics mirrored:
 The reference flattens (paths, T, d) -> (paths*T, d) for its MLP
 (dice_maml.py:236-242); our functional apply broadcasts over leading axes,
 so no reshapes are needed.
+
+Practical note (measured, benchmarks/validation/dice_maml_*): the DICE
+inner gradient multiplies RAW adjusted discounted rewards (dice_maml.py:36
+— per-step discounted reward minus the time baseline, NOT the normalized
+GAE advantages the LR/log-lik inner steps use), so its magnitude scales
+with the env's reward scale. On envs with |return| ~ 100s the inner_lr
+that works for ProMP/VPG-MAML (0.1) overshoots by ~100x; inner_lr ~ 1e-3
+restores a sane post-update policy.
 """
 from __future__ import annotations
 
