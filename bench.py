@@ -22,13 +22,17 @@ the compiled phase programs — the honest number for a judge of
 TPU-nativeness: this workload is small-matrix latency-bound, not
 FLOPs-bound; see benchmarks/RESULTS.md).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md). The bound
-is MEASURED on this host by benchmarks/reference_bound.py, which times
-numpy/pickle/python stand-ins for the reference's per-step host work
-(sess.run MLP forward, per-task Pipe pickle round-trips, python env.step
-+ bookkeeping loops — SURVEY.md §3.2): 26,960 env-steps/s, optimistic
-(omits TF dispatch, feed-dict construction, scheduling). The BASELINE.json
-north star asks for >=10x the reference.
+vs_baseline: the reference publishes no numbers (BASELINE.md). The bounds
+are MEASURED on this host by benchmarks/reference_bound.py, which times
+stand-ins for the reference's per-step host work (sess.run MLP forward,
+per-task Pipe pickle round-trips, env.step + bookkeeping loops —
+SURVEY.md §3.2). Round 4 re-measured on an IDLE host (round 3's numbers
+were depressed by concurrent validation runs) and calibrated a separate
+cheetah bound whose env.step term is the REAL installed MuJoCo
+(mj_step x frame_skip, granted perfect parallelism over all host cores):
+pointmass 92,000 env-steps/s, cheetah 33,000 env-steps/s — both
+optimistic for the reference (no TF dispatch, feed-dict construction, or
+scheduling). The BASELINE.json north star asks for >=10x the reference.
 """
 from __future__ import annotations
 
@@ -37,10 +41,15 @@ import json
 import os
 import time
 
-# Measured by benchmarks/reference_bound.py on this host (2026-08-21):
-# an OPTIMISTIC upper bound for the reference stack's env-steps/s on the
-# default point-mass workload. Re-run that script to refresh.
-REFERENCE_ENV_STEPS_PER_S = 26_960.0
+# Measured by benchmarks/reference_bound.py on this host, idle
+# (2026-08-21, round 4): OPTIMISTIC upper bounds for the reference
+# stack's env-steps/s per workload (highest of repeated runs). The
+# cheetah bound uses the real installed MuJoCo for its physics term.
+# Re-run that script (with --workload cheetah) to refresh.
+REFERENCE_ENV_STEPS_PER_S = {
+    "pointmass": 92_000.0,
+    "cheetah": 33_000.0,
+}
 
 # bf16 MXU peak per chip, by device kind — used only for the MFU lines.
 PEAK_FLOPS = {
@@ -106,7 +115,7 @@ def run_default_mode(jax, workload):
     emit(f"env_steps_per_s_promp_{workload}_full_meta_iteration"
          "_default_mode",
          round(steps_per_s, 1), "env-steps/s/chip",
-         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2))
+         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S[workload], 2))
 
 
 def run_onejit(jax, workload):
@@ -132,7 +141,7 @@ def run_onejit(jax, workload):
     steps_per_s = steps_per_iter * n_timed / elapsed
     emit(f"env_steps_per_s_promp_{workload}_full_meta_iteration_onejit",
          round(steps_per_s, 1), "env-steps/s/chip",
-         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2))
+         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S[workload], 2))
 
 
 def run_fused(jax, workload, backend, mfu=False):
@@ -182,7 +191,7 @@ def run_fused(jax, workload, backend, mfu=False):
     suffix = "_pallas" if backend == "pallas" else ""
     emit(f"env_steps_per_s_promp_{workload}_full_meta_iteration{suffix}",
          round(steps_per_s, 1), "env-steps/s/chip",
-         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S, 2))
+         round(steps_per_s / REFERENCE_ENV_STEPS_PER_S[workload], 2))
 
     if not mfu:
         return

@@ -24,11 +24,25 @@ adapted parameter array every step, meta_gaussian_mlp_policy.py:139-157),
 process scheduling, and pipe syscall latency (we pickle to bytes in
 memory instead of writing through a socket).
 
-Run:  python benchmarks/reference_bound.py
+`--workload cheetah` (VERDICT r3 item 1a) calibrates the bound for
+HalfCheetahRandVel instead: 20-dim obs / 6-dim action payloads, and the
+env.step term is the REAL installed MuJoCo (mj_step x frame_skip 5 on
+gymnasium's half_cheetah.xml — the reference's own physics C library,
+half_cheetah_rand_vel.py:5-14, frame_skip=5) plus the python-level obs
+assembly and reward the reference computes per step. Worker-side physics
+is granted PERFECT parallel speedup across all host cores (the reference
+runs meta_batch_size worker processes, vectorized_env_executor.py:160-178)
+while the parent-side terms (policy forward, pipe pickling, bookkeeping)
+stay serial, as they are in meta_sampler.py's parent loop. Still
+optimistic: no TF dispatch, no scheduling, in-memory pickles.
+
+Run:  python benchmarks/reference_bound.py [--workload cheetah]
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import pickle
 import time
 
@@ -36,8 +50,6 @@ import numpy as np
 
 META_BATCH = 40
 ENVS_PER_TASK = 20
-OBS_DIM = 2
-ACT_DIM = 2
 N_ENVS = META_BATCH * ENVS_PER_TASK
 
 
@@ -52,13 +64,53 @@ def timeit(fn, min_time=0.5):
             return dt / n
 
 
-def main():
+def mujoco_cheetah_step_cost():
+    """Per-env-step cost of the reference's cheetah physics, measured with
+    the REAL MuJoCo library on this host: 5 x mj_step (frame_skip,
+    half_cheetah.py) + the python obs/reward work the RandomEnv subclass
+    does per step (get_body_com, obs concat, reward arithmetic —
+    half_cheetah_rand_vel.py:16-30)."""
+    import gymnasium
+    import mujoco
+
+    assets = os.path.join(os.path.dirname(gymnasium.__file__),
+                          "envs/mujoco/assets")
+    m = mujoco.MjModel.from_xml_path(
+        os.path.join(assets, "half_cheetah.xml"))
+    d = mujoco.MjData(m)
     rng = np.random.RandomState(0)
-    obs = rng.randn(N_ENVS, OBS_DIM).astype(np.float64)
-    w0 = rng.randn(OBS_DIM, 64) * 0.1
+    actions = rng.uniform(-1, 1, (64, m.nu))
+
+    def one_env_step(i=[0]):
+        a = actions[i[0] % 64]
+        i[0] += 1
+        d.ctrl[:] = a
+        for _ in range(5):
+            mujoco.mj_step(m, d)
+        # python-side per-step work (reference env.step body)
+        obs = np.concatenate([d.qpos.flat[1:], d.qvel.flat,
+                              d.subtree_com[1].flat])
+        fwd_vel = d.qvel[0]
+        reward = -np.abs(fwd_vel - 1.0) - 0.05 * np.sum(np.square(a))
+        return obs, reward
+
+    return timeit(one_env_step, min_time=1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="pointmass",
+                    choices=["pointmass", "cheetah"])
+    args = ap.parse_args()
+    obs_dim = 2 if args.workload == "pointmass" else 20
+    act_dim = 2 if args.workload == "pointmass" else 6
+
+    rng = np.random.RandomState(0)
+    obs = rng.randn(N_ENVS, obs_dim).astype(np.float64)
+    w0 = rng.randn(obs_dim, 64) * 0.1
     w1 = rng.randn(64, 64) * 0.1
-    w2 = rng.randn(64, ACT_DIM) * 0.1
-    log_std = np.zeros(ACT_DIM)
+    w2 = rng.randn(64, act_dim) * 0.1
+    log_std = np.zeros(act_dim)
 
     def policy_forward():
         h = np.tanh(obs @ w0)
@@ -84,7 +136,7 @@ def main():
             blob = pickle.dumps(r, protocol=pickle.HIGHEST_PROTOCOL)
             pickle.loads(blob)
 
-    state = {"pos": np.zeros(OBS_DIM)}
+    state = {"pos": np.zeros(obs_dim)}
 
     def env_step_one(a):
         # the reference point env's numpy step (point_env_2d_corner.py):
@@ -114,18 +166,30 @@ def main():
 
     t_policy = timeit(policy_forward)
     t_pipe = timeit(pipe_round_trip)
-    t_env = timeit(env_steps)
     t_book = timeit(bookkeeping)
+    ncores = os.cpu_count() or 1
+    if args.workload == "cheetah":
+        # real MuJoCo physics, granted perfect parallel speedup over all
+        # host cores (workers run concurrently; the parent terms cannot)
+        t_env_serial_per_step = mujoco_cheetah_step_cost()
+        t_env = t_env_serial_per_step * N_ENVS / ncores
+        env_note = (f"real mujoco mj_step x5 ({t_env_serial_per_step*1e6:.1f}"
+                    f" us/env-step serial) / {ncores} cores")
+    else:
+        t_env = timeit(env_steps)
+        env_note = "python point-env step, serial"
     t_total = t_policy + t_pipe + t_env + t_book
     steps_per_s = N_ENVS / t_total
 
     print(json.dumps({
+        "workload": args.workload,
         "host_overhead_per_env_step_us": {
             "policy_forward": round(t_policy / N_ENVS * 1e6, 3),
             "pipe_pickle_round_trip": round(t_pipe / N_ENVS * 1e6, 3),
             "env_step": round(t_env / N_ENVS * 1e6, 3),
             "path_bookkeeping": round(t_book / N_ENVS * 1e6, 3),
         },
+        "env_step_model": env_note,
         "implied_reference_env_steps_per_s_bound": round(steps_per_s, 1),
         "note": ("optimistic bound: omits TF sess.run dispatch, feed-dict "
                  "construction, process scheduling, and real socket "
