@@ -37,6 +37,7 @@ import numpy as np
 from promp_tpu.envs.mujoco.model import HINGE, SLIDE, ChainModel
 from promp_tpu.envs.mujoco.rotations import (
     quat_from_axis_angle, quat_mul, quat_rotate, quat_to_mat)
+from promp_tpu.ops.smallsolve import chol_solve_unrolled
 
 
 @dataclass(frozen=True)
@@ -580,8 +581,10 @@ class Engine:
         reg = self.solve_reg * (jnp.trace(M) / m.nv)
         A = (M + jnp.diag(diag_cd) + A_con
              + reg * jnp.eye(m.nv, dtype=dt))
-        chol = jnp.linalg.cholesky(A)
-        qdd = jax.scipy.linalg.cho_solve((chol, True), tau)
+        # statically unrolled Cholesky solve: XLA's generic batched
+        # cholesky/cho_solve was 78% of the substep on TPU (~830 us vs
+        # ~58 us unrolled for nv=9 x 800 envs — ops/smallsolve.py)
+        qdd = chol_solve_unrolled(A, tau)
         qd_new = jnp.clip(qd + h * qdd, -self.max_qvel, self.max_qvel)
         q_new = q + h * qd_new
         return q_new, qd_new
