@@ -84,8 +84,49 @@ def main(run_dir, seed=123):
           f"(+-{gap.std():.2f}), post>pre on "
           f"{(gap > 0).mean() * 100:.0f}% of tasks")
 
-    t = np.asarray(tasks)
-    if t.ndim == 1 and "forward_vel" in pre.get("env_infos", {}):
+    if isinstance(tasks, dict):
+        # rand-params family: tasks are physics-multiplier pytrees
+        # (reference envs/base.py:69-108). Two questions the curves hide:
+        # (a) does adaptation help more where the physics are more
+        # extreme, and (b) does the inner step steer the POLICY by the
+        # physics — i.e. do similar physics produce similar adapted
+        # parameters?
+        feats = [np.log(np.asarray(v)).reshape(len(gap), -1)
+                 for _k, v in sorted(tasks.items())]
+        logm = np.concatenate(feats, axis=1)              # (tasks, D)
+        extremity = np.linalg.norm(logm, axis=1)
+
+        def corr(a, b):
+            return float(np.corrcoef(a, b)[0, 1])
+
+        hard = extremity > np.median(extremity)
+        print(f"  physics extremity ||log m||: corr(gap)="
+              f"{corr(extremity, gap):+.3f} corr(pre)="
+              f"{corr(extremity, r_pre):+.3f} corr(post)="
+              f"{corr(extremity, r_post):+.3f}")
+        print(f"  gap on extreme-physics half: {gap[hard].mean():+.2f} "
+              f"vs mild half: {gap[~hard].mean():+.2f}")
+
+        # (b): pairwise task similarity vs pairwise adapted-params
+        # similarity (upper triangles)
+        base_flat = np.concatenate(
+            [np.asarray(leaf).reshape(len(gap), -1)
+             for leaf in jax.tree.leaves(jax.device_get(task_params))], 1)
+        adap_flat = np.concatenate(
+            [np.asarray(leaf).reshape(len(gap), -1)
+             for leaf in jax.tree.leaves(jax.device_get(adapted))], 1)
+        delta = adap_flat - base_flat                     # (tasks, P)
+        dn = delta / (np.linalg.norm(delta, axis=1, keepdims=True) + 1e-12)
+        tn = logm / (np.linalg.norm(logm, axis=1, keepdims=True) + 1e-12)
+        iu = np.triu_indices(len(gap), k=1)
+        sim_theta = (dn @ dn.T)[iu]
+        sim_task = (tn @ tn.T)[iu]
+        print(f"  corr(pairwise task sim, pairwise inner-step-direction "
+              f"sim) = {corr(sim_task, sim_theta):+.3f} over "
+              f"{len(sim_task)} pairs")
+
+    t = np.asarray(tasks) if not isinstance(tasks, dict) else np.zeros(0)
+    if t.ndim == 1 and t.size and "forward_vel" in pre.get("env_infos", {}):
         def vel_corr(s):
             v = np.asarray(s["env_infos"]["forward_vel"])
             vbar = v.mean((-1, -2))                  # per-task mean vel
