@@ -64,6 +64,11 @@ class Engine:
     # eigenvalues are O(1), so dynamics error is O(1e-5) relative.
     solve_reg: float = 1.0e-5
     dtype: type = jnp.float32
+    # scalar-unrolled planar fast path (envs/mujoco/planar.py) for
+    # eligible models (x-z chains, hinges about ±y: cheetah / walker /
+    # hopper). Equivalent to the generic substep to float32 precision
+    # (tests/test_planar.py); set False to force the generic path.
+    use_planar: bool = True
 
     # ------------------------------------------------------------------- fk
     def fk(self, q):
@@ -589,6 +594,22 @@ class Engine:
         q_new = q + h * qd_new
         return q_new, qd_new
 
+    @property
+    def _planar_substep(self):
+        """Cached planar fast-path substep, or None if ineligible.
+
+        cached_property-style stash that works on the frozen dataclass
+        (direct __dict__ write bypasses the frozen __setattr__)."""
+        cached = self.__dict__.get("_planar_substep_cache", "unset")
+        if cached == "unset":
+            cached = None
+            if self.use_planar:
+                from promp_tpu.envs.mujoco import planar
+                if planar.planar_ok(self.model):
+                    cached = planar.make_planar_substep(self)
+            self.__dict__["_planar_substep_cache"] = cached
+        return cached
+
     def step(self, q, qd, ctrl, frame_skip, mods=None):
         """Advance frame_skip MJCF frames (the env-visible dt)."""
         m = self.model
@@ -600,10 +621,11 @@ class Engine:
         tau_act = jnp.zeros(m.nv, dt).at[jnp.asarray(m.act_dof)].add(
             gear * ctrl)
         h = jnp.asarray(m.timestep / self.n_substeps, dt)
+        substep = self._planar_substep or self.substep
 
         def body(carry, _):
             q, qd = carry
-            q, qd = self.substep(q, qd, tau_act, h, mods)
+            q, qd = substep(q, qd, tau_act, h, mods)
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(body, (q, qd), None,

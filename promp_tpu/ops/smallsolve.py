@@ -31,17 +31,28 @@ def chol_solve_unrolled(A, b, *, pivot_floor=1e-12):
     poisoning the whole rollout batch.
     """
     n = A.shape[-1]
+    x = solve_from_entries(lambda i, j: A[i, j], lambda i: b[i], n,
+                           pivot_floor=pivot_floor)
+    return jnp.stack(x)
+
+
+def solve_from_entries(a_entry, b_entry, n, *, pivot_floor=1e-12):
+    """The unrolled solve on scalar ACCESSORS — for callers that hold the
+    system as individual scalars and never materialize the matrix (the
+    planar fast path, envs/mujoco/planar.py). ``a_entry(i, j)`` /
+    ``b_entry(i)`` return system entries; result is a LIST of n scalars.
+    """
     # L entries as scalars: L[i][j] for j <= i
     L = [[None] * (i + 1) for i in range(n)]
     for j in range(n):
-        s = A[j, j]
+        s = a_entry(j, j)
         for k in range(j):
             s = s - L[j][k] * L[j][k]
         d = jnp.sqrt(jnp.maximum(s, pivot_floor))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):
-            s = A[i, j]
+            s = a_entry(i, j)
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d
@@ -49,7 +60,7 @@ def chol_solve_unrolled(A, b, *, pivot_floor=1e-12):
     # forward substitution: L y = b
     y = [None] * n
     for i in range(n):
-        s = b[i]
+        s = b_entry(i)
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
@@ -61,5 +72,4 @@ def chol_solve_unrolled(A, b, *, pivot_floor=1e-12):
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-
-    return jnp.stack(x)
+    return x
