@@ -586,10 +586,18 @@ class Engine:
         reg = self.solve_reg * (jnp.trace(M) / m.nv)
         A = (M + jnp.diag(diag_cd) + A_con
              + reg * jnp.eye(m.nv, dtype=dt))
-        # statically unrolled Cholesky solve: XLA's generic batched
-        # cholesky/cho_solve was 78% of the substep on TPU (~830 us vs
-        # ~58 us unrolled for nv=9 x 800 envs — ops/smallsolve.py)
-        qdd = chol_solve_unrolled(A, tau)
+        if m.nv <= 16:
+            # statically unrolled Cholesky solve: XLA's generic batched
+            # cholesky/cho_solve was 78% of the substep on TPU (~830 us
+            # vs ~58 us unrolled for nv=9 x 800 envs — ops/smallsolve.py)
+            qdd = chol_solve_unrolled(A, tau)
+        else:
+            # humanoid-class (nv=23): the O(nv^2) scalar unroll inflates
+            # the traced program enough that the remote XLA compile goes
+            # from ~minutes to wedged (observed >28 min); the generic
+            # solver keeps compiles bounded there
+            chol = jnp.linalg.cholesky(A)
+            qdd = jax.scipy.linalg.cho_solve((chol, True), tau)
         qd_new = jnp.clip(qd + h * qdd, -self.max_qvel, self.max_qvel)
         q_new = q + h * qd_new
         return q_new, qd_new
