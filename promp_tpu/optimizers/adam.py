@@ -50,4 +50,19 @@ class Adam:
         new_params = jax.tree.map(
             lambda p, m, v: p - lr_t * m / (jnp.sqrt(v) + self.eps),
             params, mu, nu)
-        return new_params, AdamState(count, mu, nu)
+        # finite-update guard (SURVEY §5.2 failure handling): a non-finite
+        # gradient — observed once in 5000 Walker iterations when a KL
+        # spike overflows the likelihood ratios — must SKIP the epoch,
+        # not write NaN into the parameters and permanently poison the
+        # run. First-order analog of the CG line-search NaN-reject
+        # (optimizers/trpo.py); a no-op whenever gradients are finite.
+        finite = jnp.all(jnp.stack([
+            jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+
+        def keep(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+
+        return (keep(new_params, params),
+                AdamState(jnp.where(finite, count, state.count),
+                          keep(mu, state.mu), keep(nu, state.nu)))

@@ -61,3 +61,30 @@ def test_grad_flows():
     g = jax.grad(lambda A, b: jnp.sum(chol_solve_unrolled(A, b) ** 2),
                  argnums=(0, 1))(A, b)
     assert all(np.all(np.isfinite(np.asarray(t))) for t in g)
+
+
+def test_adam_skips_nonfinite_updates():
+    """Failure-handling: a NaN/inf gradient epoch must leave params and
+    optimizer state untouched (observed once in 5000 Walker iterations:
+    a KL spike overflowed the PPO likelihood ratios and a single NaN
+    update permanently poisoned the run)."""
+    from promp_tpu.optimizers.adam import Adam
+
+    opt = Adam(learning_rate=0.1)
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros(())}
+    state = opt.init(params)
+    good = {"w": jnp.full((3,), 0.5), "b": jnp.ones(())}
+    p1, s1 = opt.update(good, state, params)
+    assert not np.allclose(np.asarray(p1["w"]), 1.0)
+
+    bad = {"w": jnp.array([0.1, jnp.nan, 0.1]), "b": jnp.ones(())}
+    p2, s2 = opt.update(bad, s1, p1)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    np.testing.assert_array_equal(np.asarray(s2.mu["w"]),
+                                  np.asarray(s1.mu["w"]))
+    assert int(s2.count) == int(s1.count)
+
+    # recovery: the next finite gradient applies normally
+    p3, _s3 = opt.update(good, s2, p2)
+    assert np.all(np.isfinite(np.asarray(p3["w"])))
+    assert not np.allclose(np.asarray(p3["w"]), np.asarray(p2["w"]))
