@@ -37,7 +37,7 @@ import numpy as np
 from promp_tpu.envs.mujoco.model import HINGE, SLIDE, ChainModel
 from promp_tpu.envs.mujoco.rotations import (
     quat_from_axis_angle, quat_mul, quat_rotate, quat_to_mat)
-from promp_tpu.ops.smallsolve import chol_solve_unrolled
+from promp_tpu.ops.smallsolve import chol_solve_cols, chol_solve_unrolled
 
 
 @dataclass(frozen=True)
@@ -594,10 +594,11 @@ class Engine:
         else:
             # humanoid-class (nv=23): the O(nv^2) scalar unroll inflates
             # the traced program enough that the remote XLA compile goes
-            # from ~minutes to wedged (observed >28 min); the generic
-            # solver keeps compiles bounded there
-            chol = jnp.linalg.cholesky(A)
-            qdd = jax.scipy.linalg.cho_solve((chol, True), tau)
+            # from ~minutes to wedged (observed >28 min, round 4); the
+            # COLUMN-unrolled variant keeps program size O(nv) while
+            # avoiding the generic blocked solver that was 70% of the
+            # humanoid substep (1.9 of 2.7 ms at batch 800, round 5)
+            qdd = chol_solve_cols(A, tau)
         qd_new = jnp.clip(qd + h * qdd, -self.max_qvel, self.max_qvel)
         q_new = q + h * qd_new
         return q_new, qd_new

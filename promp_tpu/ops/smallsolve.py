@@ -17,6 +17,55 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def chol_solve_cols(A, b, *, pivot_floor=1e-12):
+    """Solve A x = b for SPD A via a COLUMN-vectorized unrolled Cholesky.
+
+    A: (n, n) SPD (n static); b: (n,). Returns x: (n,).
+
+    The scalar unroll in :func:`chol_solve_unrolled` emits O(n^2) entry
+    ops (plus O(n^2) slices when the caller holds a materialized matrix);
+    at humanoid size (nv = 23) that program wedged the remote XLA compile
+    (engine.py round-4 note). This variant keeps the matrix WHOLE and
+    unrolls only the n pivot steps, each a handful of vector ops (static
+    column slice, rsqrt, masked rank-1 update), so program size is O(n)
+    ops of (n, n)/(n,) shapes: compile-bounded at any engine nv, and still
+    free of XLA's generic blocked-Cholesky overhead (measured 1.9 ms of
+    the 2.7 ms humanoid substep at batch 800 — benchmarks/RESULTS.md r5).
+    Under vmap every step is one elementwise kernel over the batch.
+    """
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    cols = []
+    for j in range(n):
+        cj = A[:, j]
+        d = jnp.sqrt(jnp.maximum(cj[j], pivot_floor))
+        # diagonal = the CLAMPED pivot d itself (not cj[j]/d, which is 0
+        # for a semidefinite pivot and would NaN the substitutions)
+        lj = jnp.where(idx > j, cj / d, jnp.zeros_like(cj)).at[j].set(d)
+        cols.append(lj)
+        # rank-1 update of the trailing submatrix; rows/cols < j of lj are
+        # zero so already-finished entries are untouched
+        A = A - lj[:, None] * lj[None, :]
+    L = jnp.stack(cols, axis=1)                                # (n, n) lower
+
+    # forward substitution L y = b, one unrolled elimination per column
+    y = b
+    ys = []
+    for j in range(n):
+        yj = y[j] / L[j, j]
+        ys.append(yj)
+        y = y - L[:, j] * yj
+    # back substitution L^T x = y: x[j] = (y[j] - sum_{k>j} L[k,j] x[k]) / L[j,j];
+    # x[k]'s contribution to every j < k is row k of L scaled by x[k]
+    xs = [None] * n
+    acc = jnp.zeros_like(b)
+    for j in range(n - 1, -1, -1):
+        xj = (ys[j] - acc[j]) / L[j, j]
+        xs[j] = xj
+        acc = acc + L[j] * xj
+    return jnp.stack(xs)
+
+
 def chol_solve_unrolled(A, b, *, pivot_floor=1e-12):
     """Solve A x = b for SPD A via fully unrolled Cholesky.
 

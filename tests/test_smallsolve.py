@@ -7,23 +7,27 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from promp_tpu.ops.smallsolve import chol_solve_unrolled
+from promp_tpu.ops.smallsolve import chol_solve_cols, chol_solve_unrolled
+
+SOLVERS = [chol_solve_unrolled, chol_solve_cols]
 
 
+@pytest.mark.parametrize("solver", SOLVERS)
 @pytest.mark.parametrize("n", [1, 2, 6, 9, 15, 23])
-def test_matches_float64_solve(n):
+def test_matches_float64_solve(n, solver):
     rng = np.random.RandomState(n)
     X = rng.randn(32, n, n).astype(np.float32)
     A = X @ np.swapaxes(X, 1, 2) + 0.5 * np.eye(n, dtype=np.float32)
     b = rng.randn(32, n).astype(np.float32)
-    x = jax.vmap(chol_solve_unrolled)(jnp.asarray(A), jnp.asarray(b))
+    x = jax.vmap(solver)(jnp.asarray(A), jnp.asarray(b))
     ref = np.linalg.solve(A.astype(np.float64),
                           b.astype(np.float64)[..., None])[..., 0]
     err = np.abs(np.asarray(x) - ref).max() / np.abs(ref).max()
     assert err < 1e-4, err
 
 
-def test_ill_conditioned_stays_finite():
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_ill_conditioned_stays_finite(solver):
     """The gimbal-lock scenario: a (numerically) semidefinite system must
     yield finite output, not NaN (the engine adds Tikhonov reg on top,
     but the solver itself must not poison the batch)."""
@@ -31,25 +35,27 @@ def test_ill_conditioned_stays_finite():
     v = np.arange(1, n + 1, dtype=np.float32)
     A = np.outer(v, v) + 1e-7 * np.eye(n, dtype=np.float32)  # rank ~1
     b = np.ones(n, np.float32)
-    x = chol_solve_unrolled(jnp.asarray(A), jnp.asarray(b))
+    x = solver(jnp.asarray(A), jnp.asarray(b))
     assert np.all(np.isfinite(np.asarray(x)))
 
 
-def test_nested_vmap_matches_flat():
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_nested_vmap_matches_flat(solver):
     """The engine uses (task, env) nested vmaps around the substep."""
     n = 9
     rng = np.random.RandomState(0)
     X = rng.randn(12, n, n).astype(np.float32)
     A = X @ np.swapaxes(X, 1, 2) + np.eye(n, dtype=np.float32)
     b = rng.randn(12, n).astype(np.float32)
-    flat = jax.vmap(chol_solve_unrolled)(jnp.asarray(A), jnp.asarray(b))
-    nested = jax.vmap(jax.vmap(chol_solve_unrolled))(
+    flat = jax.vmap(solver)(jnp.asarray(A), jnp.asarray(b))
+    nested = jax.vmap(jax.vmap(solver))(
         jnp.asarray(A.reshape(3, 4, n, n)), jnp.asarray(b.reshape(3, 4, n)))
     np.testing.assert_allclose(np.asarray(nested).reshape(12, n),
                                np.asarray(flat), rtol=1e-6, atol=1e-6)
 
 
-def test_grad_flows():
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_grad_flows(solver):
     """The solve sits inside jitted training programs; its vjp must be
     finite (autodiff goes through sqrt/divide chains)."""
     n = 5
@@ -58,7 +64,7 @@ def test_grad_flows():
     A = jnp.asarray(X @ X.T + np.eye(n, dtype=np.float32))
     b = jnp.asarray(rng.randn(n).astype(np.float32))
 
-    g = jax.grad(lambda A, b: jnp.sum(chol_solve_unrolled(A, b) ** 2),
+    g = jax.grad(lambda A, b: jnp.sum(solver(A, b) ** 2),
                  argnums=(0, 1))(A, b)
     assert all(np.all(np.isfinite(np.asarray(t))) for t in g)
 
