@@ -39,6 +39,8 @@ from promp_tpu.envs.mujoco.rotations import (
     quat_from_axis_angle, quat_mul, quat_rotate, quat_to_mat)
 from promp_tpu.ops.smallsolve import chol_solve_cols, chol_solve_unrolled
 
+_UNSET = object()
+
 
 @dataclass(frozen=True)
 class Engine:
@@ -69,6 +71,10 @@ class Engine:
     # hopper). Equivalent to the generic substep to float32 precision
     # (tests/test_planar.py); set False to force the generic path.
     use_planar: bool = True
+    # scalar-unrolled 3-D fast path (envs/mujoco/spatial.py) for the
+    # non-planar bodies (ant / humanoid). Planar wins where eligible;
+    # set False to force the generic tensor path.
+    use_spatial: bool = True
 
     # ------------------------------------------------------------------- fk
     def fk(self, q):
@@ -603,21 +609,37 @@ class Engine:
         q_new = q + h * qd_new
         return q_new, qd_new
 
+    def _cached(self, slot, build):
+        """cached_property-style stash that works on the frozen dataclass
+        (direct __dict__ write bypasses the frozen __setattr__; a unique
+        object() sentinel distinguishes 'never computed' from None)."""
+        cached = self.__dict__.get(slot, _UNSET)
+        if cached is _UNSET:
+            cached = build()
+            self.__dict__[slot] = cached
+        return cached
+
     @property
     def _planar_substep(self):
-        """Cached planar fast-path substep, or None if ineligible.
-
-        cached_property-style stash that works on the frozen dataclass
-        (direct __dict__ write bypasses the frozen __setattr__)."""
-        cached = self.__dict__.get("_planar_substep_cache", "unset")
-        if cached == "unset":
-            cached = None
+        """Cached planar fast-path substep, or None if ineligible."""
+        def build():
             if self.use_planar:
                 from promp_tpu.envs.mujoco import planar
                 if planar.planar_ok(self.model):
-                    cached = planar.make_planar_substep(self)
-            self.__dict__["_planar_substep_cache"] = cached
-        return cached
+                    return planar.make_planar_substep(self)
+            return None
+        return self._cached("_planar_substep_cache", build)
+
+    @property
+    def _spatial_substep(self):
+        """Cached 3-D scalar fast-path substep, or None if ineligible."""
+        def build():
+            if self.use_spatial:
+                from promp_tpu.envs.mujoco import spatial
+                if spatial.spatial_ok(self.model):
+                    return spatial.make_spatial_substep(self)
+            return None
+        return self._cached("_spatial_substep_cache", build)
 
     def step(self, q, qd, ctrl, frame_skip, mods=None):
         """Advance frame_skip MJCF frames (the env-visible dt)."""
@@ -630,7 +652,8 @@ class Engine:
         tau_act = jnp.zeros(m.nv, dt).at[jnp.asarray(m.act_dof)].add(
             gear * ctrl)
         h = jnp.asarray(m.timestep / self.n_substeps, dt)
-        substep = self._planar_substep or self.substep
+        substep = (self._planar_substep or self._spatial_substep
+                   or self.substep)
 
         def body(carry, _):
             q, qd = carry
