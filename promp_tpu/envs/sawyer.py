@@ -13,8 +13,27 @@ multiworld's arm), objects are dynamic bodies with gravity and table
 contact, and pushing / door-opening happen through sphere-sphere contact
 forces inside the rollout scan. The grasp in pick-and-place is the one
 kinematic simplification (attach while gripper closed, real physics on
-release). Task distributions, observation layouts, reward shapes and
-diagnostics keys mirror the round-1 analogs.
+release).
+
+Rewards (round 5, VERDICT r4 item 3): the reference pins
+``dennisl88/multiworld@russell`` whose source is unreachable in this
+container (zero egress), so the SHAPED staged rewards are ported from the
+same author's successor implementation of these scenes (R. Mendonca's
+Sawyer push / pick-place shaping, as published in Meta-World's
+sawyer_reach_push_pick_place.py): a reach term ``-reachDist`` always on,
+and a GATED progress bonus
+``1000*(maxDist - dist) + c1*(exp(-dist^2/c2) + exp(-dist^2/c3))``
+(c1=1000, c2=1e-2, c3=1e-3, clamped >= 0) that turns on once the hand
+reaches the object — the shaping the reference's own wrapper relies on
+(its diagnostics read reachDist / placeDist / reachRew / pickRew /
+placeRew from env infos, sawyer_push.py:45-50,
+sawyer_pick_and_place.py:44-56). ``SawyerPushSimpleEnv`` mirrors the
+reference call site exactly: fixed object start, goals in
+[-0.2, 0.6] x [0.2, 0.8], ``rew_mode='posPlace'`` (positive place
+progress, sawyer_push_simple.py:15-21). Note the reference's
+sawyer_door.py is a verbatim copy of the push wrapper (it wraps
+multiworld's SawyerPushEnv and never references a door); the door env
+here is a genuine door scene kept as a capability superset.
 """
 from __future__ import annotations
 
@@ -30,6 +49,19 @@ from promp_tpu.envs.mujoco.scenes import (
     sawyer_door_model, sawyer_pick_model, sawyer_push_model)
 
 REACH_RADIUS = 0.08
+
+# shaped-reward constants (multiworld-lineage, see module docstring)
+C1, C2, C3 = 1000.0, 0.01, 0.001
+REACH_GATE = 0.05
+
+
+def progress_bonus(dist, max_dist):
+    """``max(1000*(maxDist - dist) + c1*(exp(-d^2/c2) + exp(-d^2/c3)), 0)``
+    — the multiworld-lineage gated progress term: a dense linear pull
+    toward the goal plus two sharpening exponentials near it."""
+    raw = (1000.0 * (max_dist - dist)
+           + C1 * (jnp.exp(-dist**2 / C2) + jnp.exp(-dist**2 / C3)))
+    return jnp.maximum(raw, 0.0)
 
 
 @dataclass(frozen=True)
@@ -80,9 +112,12 @@ class SawyerBase(TaskEnv):
 class SawyerPushEnv(SawyerBase):
     """Push the puck to a sampled goal on the table (sawyer_push.py).
 
-    Task = goal (x, y) for the object; obs = [ee(3), obj(3)];
-    reward = -(reachDist + placeDist); the puck moves only by real
-    EE-puck contact forces and decelerates by table friction."""
+    Task = goal (x, y) for the object; obs = [ee(3), obj(3)]. Reward is
+    the multiworld-lineage shaping (module docstring):
+    ``-reachDist + [reachDist < 0.05] * progress_bonus(placeDist,
+    maxPushDist)`` with maxPushDist = the object-to-goal distance at
+    reset (carried in env state). The puck moves only by real EE-puck
+    contact forces and decelerates by table friction."""
 
     observation_space: Box = Box(-jnp.inf, jnp.inf, (6,))
 
@@ -107,27 +142,59 @@ class SawyerPushEnv(SawyerBase):
                                             -0.02, 0.02))
         q = q.at[3:5].add(jax.random.uniform(ko, (2,), jnp.float32,
                                              -0.08, 0.08))
-        state = dict(q=q, qd=jnp.zeros_like(q))
+        # task[..., :2] so the pick-and-place subclass (3-D goals) can
+        # reuse this reset
+        state = dict(q=q, qd=jnp.zeros_like(q),
+                     max_push_dist=jnp.linalg.norm(q[3:5] - task[..., :2]))
         return state, self._obs(state)
 
     def step(self, state, action, task, key):
         state = self._advance(state, jnp.clip(action[:3], -1.0, 1.0))
         reach_dist = jnp.linalg.norm(self._ee(state) - self._obj(state))
         place_dist = jnp.linalg.norm(self._obj(state)[:2] - task)
-        reward = -(reach_dist + place_dist)
-        info = dict(reachDist=reach_dist, placeDist=place_dist)
+        reach_rew = -reach_dist
+        push_rew = jnp.where(reach_dist < REACH_GATE,
+                             progress_bonus(place_dist,
+                                            state["max_push_dist"]),
+                             0.0)
+        reward = reach_rew + push_rew
+        info = dict(reachDist=reach_dist, placeDist=place_dist,
+                    reachRew=reach_rew, pushRew=push_rew)
         return (state, self._obs(state), reward, jnp.array(False), info)
 
 
 @register_env("SawyerPushSimpleEnv")
 @dataclass(frozen=True)
 class SawyerPushSimpleEnv(SawyerPushEnv):
-    """sawyer_push_simple.py — narrower goal distribution."""
+    """sawyer_push_simple.py — the reference call site pins a FIXED
+    object start (obj_low == obj_high == (0, 0.5, 0.02)), goals in
+    [-0.2, 0.6] x [0.2, 0.8], and ``rew_mode='posPlace'``: the positive
+    place-progress reward ungated by reach (:15-21)."""
 
     def sample_tasks(self, key, n_tasks):
         return jax.random.uniform(
             key, (n_tasks, 2), jnp.float32,
-            jnp.array([-0.1, 0.55]), jnp.array([0.1, 0.7]))
+            jnp.array([-0.2, 0.6]), jnp.array([0.2, 0.8]))
+
+    def reset(self, key, task):
+        state, obs = super().reset(key, task)
+        # fixed object start: undo the puck reset noise
+        q = state["q"].at[3:5].set(
+            jnp.asarray(self.model.init_qpos, jnp.float32)[3:5])
+        state = dict(state, q=q,
+                     max_push_dist=jnp.linalg.norm(q[3:5] - task))
+        return state, self._obs(state)
+
+    def step(self, state, action, task, key):
+        state = self._advance(state, jnp.clip(action[:3], -1.0, 1.0))
+        reach_dist = jnp.linalg.norm(self._ee(state) - self._obj(state))
+        place_dist = jnp.linalg.norm(self._obj(state)[:2] - task)
+        reach_rew = -reach_dist
+        push_rew = progress_bonus(place_dist, state["max_push_dist"])
+        reward = reach_rew + push_rew
+        info = dict(reachDist=reach_dist, placeDist=place_dist,
+                    reachRew=reach_rew, pushRew=push_rew)
+        return (state, self._obs(state), reward, jnp.array(False), info)
 
 
 @register_env("SawyerDoorEnv")
@@ -199,9 +266,14 @@ class SawyerPickAndPlaceEnv(SawyerPushEnv):
             key, (n_tasks, 3), jnp.float32,
             jnp.array([-0.15, 0.5, 0.05]), jnp.array([0.15, 0.7, 0.25]))
 
+    diagnostics_keys = ("reachDist", "placingDist", "reachRew", "pickRew",
+                        "placeRew")
+
     def reset(self, key, task):
         state, obs = super().reset(key, task)
-        return dict(state, grasp=jnp.zeros(())), obs
+        state = dict(state, grasp=jnp.zeros(()),
+                     max_place_dist=jnp.linalg.norm(state["q"][3:6] - task))
+        return state, obs
 
     def step(self, state, action, task, key):
         state = self._advance(state, jnp.clip(action[:3], -1.0, 1.0))
@@ -218,6 +290,21 @@ class SawyerPickAndPlaceEnv(SawyerPushEnv):
                      grasp=grasping.astype(jnp.float32))
         reach_dist = jnp.linalg.norm(self._ee(state) - self._obj(state))
         place_dist = jnp.linalg.norm(self._obj(state) - task)
-        reward = -(reach_dist + place_dist)
-        info = dict(reachDist=reach_dist, placeDist=place_dist)
+        # staged multiworld-lineage shaping (reachRew / pickRew /
+        # placeRew — the info keys the reference wrapper logs,
+        # sawyer_pick_and_place.py:44-56)
+        reach_rew = -reach_dist
+        obj_z = self._obj(state)[2]
+        height_target = task[2]
+        pick_rew = jnp.where(state["grasp"] > 0.0,
+                             100.0 * jnp.minimum(height_target, obj_z),
+                             0.0)
+        place_rew = jnp.where(reach_dist < 2 * REACH_GATE,
+                              progress_bonus(place_dist,
+                                             state["max_place_dist"]),
+                              0.0)
+        reward = reach_rew + pick_rew + place_rew
+        info = dict(reachDist=reach_dist, placingDist=place_dist,
+                    reachRew=reach_rew, pickRew=pick_rew,
+                    placeRew=place_rew)
         return (state, self._obs(state), reward, jnp.array(False), info)
