@@ -41,6 +41,16 @@ class ProMP(MAMLAlgo):
     init_inner_kl_penalty: float = 1e-2
     adaptive_inner_kl_penalty: bool = True
     anneal_factor: float = 1.0
+    # outer-KL early stop (round-5 deep-horizon safeguard, off by
+    # default for reference parity): when > 0, PPO epochs halt once the
+    # mean KL(sampling policy || current policy) exceeds the limit.
+    # Diagnosis behind it: the 5000-iteration Hopper rand-params run
+    # collapsed non-NaN at itr ~3900 with KLOuter spiking 600-2000 while
+    # the clipped objective kept pushing (policy std ~0.14 makes tiny
+    # mean shifts enormous in KL); the clip bounds the per-sample ratio,
+    # not the aggregate step (benchmarks/validation/HopperRandParams
+    # Env_5k). Standard PPO practice (target-KL early stopping).
+    outer_kl_limit: float = 0.0
 
     def make_optimizer(self):
         return Adam(learning_rate=self.learning_rate)
@@ -115,15 +125,37 @@ class ProMP(MAMLAlgo):
             return self.meta_objective(ts["params"], ts["step_sizes"],
                                        all_data, inner_kl_coeff, clip_eps)
 
-        def epoch(carry, _):
-            ts, os = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts)
-            grads = self.mask_grads(grads)
-            ts, os = optimizer.update(grads, os, ts)
-            return (ts, os), loss
+        if self.outer_kl_limit > 0.0:
+            # KL-gated epochs: once the outer KL (vs the sampling policy)
+            # exceeds the limit, remaining epochs become no-ops — the
+            # lax.scan shape stays static, the update is masked out
+            def epoch(carry, _):
+                ts, os, halted = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(ts)
+                grads = self.mask_grads(grads)
+                halted = jnp.logical_or(
+                    halted, aux["outer_kl"] > self.outer_kl_limit)
+                ts_new, os_new = optimizer.update(grads, os, ts)
+                keep = lambda new, old: jax.tree.map(
+                    lambda n, o: jnp.where(halted, o, n), new, old)
+                return (keep(ts_new, ts), keep(os_new, os), halted), loss
 
-        (train_state, opt_state), losses = jax.lax.scan(
-            epoch, (train_state, opt_state), None, length=self.num_ppo_steps)
+            (train_state, opt_state, _h), losses = jax.lax.scan(
+                epoch, (train_state, opt_state, jnp.array(False)), None,
+                length=self.num_ppo_steps)
+        else:
+            def epoch(carry, _):
+                ts, os = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(ts)
+                grads = self.mask_grads(grads)
+                ts, os = optimizer.update(grads, os, ts)
+                return (ts, os), loss
+
+            (train_state, opt_state), losses = jax.lax.scan(
+                epoch, (train_state, opt_state), None,
+                length=self.num_ppo_steps)
 
         # statistics at the final parameters (optimizer.compute_stats,
         # maml_first_order_optimizer.py:146-163)
@@ -131,7 +163,10 @@ class ProMP(MAMLAlgo):
         metrics = dict(LossBefore=losses[0], LossAfter=loss_after,
                        KLInner=jnp.mean(aux["inner_kls"]),
                        KLOuter=aux["outer_kl"],
-                       inner_kls=aux["inner_kls"])
+                       inner_kls=aux["inner_kls"],
+                       # cumulative finite-guard skips (optimizers/adam.py):
+                       # a rising value means gradients went non-finite
+                       SkippedUpdates=opt_state.skipped)
         return train_state, opt_state, metrics
 
     # -------------------------------------------------- adaptive KL penalty

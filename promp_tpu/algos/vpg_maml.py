@@ -103,5 +103,6 @@ class VPGMAML(MAMLAlgo):
         metrics = dict(LossBefore=losses[0], LossAfter=loss_after,
                        KLInner=jnp.mean(aux["inner_kls"]),
                        KLOuter=aux["outer_kl"],
-                       inner_kls=aux["inner_kls"])
+                       inner_kls=aux["inner_kls"],
+                       SkippedUpdates=opt_state.skipped)
         return train_state, opt_state, metrics

@@ -17,6 +17,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def clamped_pivot_count(A, *, pivot_floor=1e-12):
+    """Diagnostic mate of the clamped-pivot solvers (r5 ADVICE item): the
+    number of Cholesky pivots of ``A`` that hit ``pivot_floor`` — i.e.
+    how many directions of the system were numerically semidefinite and
+    silently regularized into finite-but-inaccurate output. Zero for a
+    healthy engine step; probe under vmap over a rollout batch to detect
+    masked physics instability."""
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    clamped = jnp.zeros((), jnp.int32)
+    for j in range(n):
+        cj = A[:, j]
+        clamped = clamped + (cj[j] <= pivot_floor).astype(jnp.int32)
+        d = jnp.sqrt(jnp.maximum(cj[j], pivot_floor))
+        lj = jnp.where(idx > j, cj / d, jnp.zeros_like(cj)).at[j].set(d)
+        A = A - lj[:, None] * lj[None, :]
+    return clamped
+
+
 def chol_solve_cols(A, b, *, pivot_floor=1e-12):
     """Solve A x = b for SPD A via a COLUMN-vectorized unrolled Cholesky.
 

@@ -24,6 +24,11 @@ class AdamState(NamedTuple):
     count: jnp.ndarray
     mu: object   # pytree like params
     nu: object   # pytree like params
+    # epochs skipped by the finite-update guard (r5 ADVICE item: a run
+    # whose gradients are PERSISTENTLY non-finite must be visible, not
+    # silently frozen) — surfaced as the SkippedUpdates metric. The
+    # default only backfills states pickled before the field existed.
+    skipped: object = 0
 
 
 @dataclass(frozen=True)
@@ -36,7 +41,8 @@ class Adam:
     def init(self, params):
         zeros = jax.tree.map(jnp.zeros_like, params)
         return AdamState(jnp.zeros((), jnp.int32), zeros,
-                         jax.tree.map(jnp.zeros_like, params))
+                         jax.tree.map(jnp.zeros_like, params),
+                         jnp.zeros((), jnp.int32))
 
     def update(self, grads, state, params):
         count = state.count + 1
@@ -65,4 +71,5 @@ class Adam:
 
         return (keep(new_params, params),
                 AdamState(jnp.where(finite, count, state.count),
-                          keep(mu, state.mu), keep(nu, state.nu)))
+                          keep(mu, state.mu), keep(nu, state.nu),
+                          state.skipped + jnp.where(finite, 0, 1)))

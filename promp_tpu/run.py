@@ -153,6 +153,7 @@ def build(config):
             adaptive_inner_kl_penalty=config.get("adaptive_inner_kl_penalty",
                                                  False),
             anneal_factor=config.get("anneal_factor", 1.0),
+            outer_kl_limit=config.get("outer_kl_limit", 0.0),
         )
     elif algo_name == "TRPOMAML":
         algo = TRPOMAML(

@@ -189,6 +189,44 @@ def _run_smoke(algo_cls, processor, n_itr=2, **algo_kwargs):
     return state
 
 
+class TestOuterKLGate:
+    def test_limit_halts_epochs(self, stack):
+        """outer_kl_limit=tiny must freeze the epoch scan after the first
+        update (the gate sees KL > limit at epoch 2's start), so the
+        result matches num_ppo_steps=1; limit=0 (off) must not."""
+        env, policy, params, task_params, tasks, samples = stack
+        all_data = [samples, samples]
+
+        def run(**kw):
+            algo = ProMP(policy=policy, inner_lr=0.05,
+                         num_inner_grad_steps=1, num_ppo_steps=4,
+                         learning_rate=0.05, adaptive_inner_kl_penalty=False,
+                         init_inner_kl_penalty=0.0, **kw)
+            ts = {"params": params, "step_sizes": algo.init_step_sizes(params)}
+            os_ = algo.init_opt_state(ts)
+            hp = {k: jnp.asarray(v) for k, v in algo.init_hparams().items()}
+            ts, _os, metrics = algo.optimize_policy(ts, os_, all_data, hp)
+            return ts
+
+        # in this fixture round-2 samples come from the PRE-update policy,
+        # so the outer KL is already > 0 at epoch 1: a tiny limit masks
+        # EVERY epoch and the params must come back untouched
+        gated = run(outer_kl_limit=1e-12)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(gated["params"][k]),
+                                          np.asarray(params[k]))
+        # a huge limit must reproduce the ungated path bit-for-bit
+        free = run()
+        loose = run(outer_kl_limit=1e9)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(loose["params"][k]),
+                                       np.asarray(free["params"][k]),
+                                       rtol=1e-6, atol=1e-7)
+        moved = max(float(jnp.max(jnp.abs(free["params"][k] - params[k])))
+                    for k in params)
+        assert moved > 1e-6
+
+
 class TestAlgoSmoke:
     def test_promp(self):
         _run_smoke(ProMP, SampleProcessor(normalize_adv=True),

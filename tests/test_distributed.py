@@ -62,9 +62,15 @@ def test_two_process_fused_iteration_matches_single(tmp_path):
         assert r["process_count_seen"] == 2
         assert r["device_count"] == 2
         assert r["local_device_count"] == 1
-    # both processes computed the same global program
-    assert results[0]["LossAfter"] == results[1]["LossAfter"]
-    assert results[0]["params_sum"] == results[1]["params_sum"]
+    # both processes computed the same global program. Bitwise equality
+    # holds on today's CPU collectives; fall back to a tight allclose so
+    # a future runtime's reduction-order change reads as a real diff,
+    # not a flake (r5 ADVICE item).
+    for key in ("LossAfter", "params_sum"):
+        a, b = results[0][key], results[1][key]
+        if a != b:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8,
+                                       err_msg=key)
 
     # per-process rank suffix fired (reference MPI-rank analog)
     assert os.path.exists(os.path.join(logdir, "progress-rank000.csv"))
