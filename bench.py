@@ -41,15 +41,43 @@ import json
 import os
 import time
 
-# Measured by benchmarks/reference_bound.py on this host, idle
-# (2026-08-21, round 4): OPTIMISTIC upper bounds for the reference
-# stack's env-steps/s per workload (highest of repeated runs). The
-# cheetah bound uses the real installed MuJoCo for its physics term.
-# Re-run that script (with --workload cheetah) to refresh.
-REFERENCE_ENV_STEPS_PER_S = {
+# OPTIMISTIC upper bounds for the reference stack's env-steps/s per
+# workload, MEASURED on this host by benchmarks/reference_bound.py
+# (--update-json writes benchmarks/bounds.json; the mujoco workloads use
+# the real installed MuJoCo for their physics term). The JSON carries a
+# host fingerprint so stale numbers fail loudly on a different host; the
+# constants below are the round-4 idle-host fallback (r5 ADVICE item:
+# constants alone went stale silently).
+_FALLBACK_BOUNDS = {
     "pointmass": 92_000.0,
     "cheetah": 33_000.0,
+    "ant": 5_860.0,
+    "humanoid": 3_780.0,
 }
+
+
+def _load_bounds():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "bounds.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        import platform
+        fp = f"{platform.node()}:{os.cpu_count()}cores"
+        if data.get("host") != fp:
+            print(f"# WARNING: bounds.json measured on {data.get('host')}, "
+                  f"this host is {fp} — re-run benchmarks/"
+                  "reference_bound.py --update-json", flush=True)
+        out = dict(_FALLBACK_BOUNDS)
+        out.update(data.get("bounds", {}))
+        return out
+    except (OSError, ValueError):
+        print("# WARNING: benchmarks/bounds.json missing/unreadable — "
+              "using round-4 fallback constants", flush=True)
+        return dict(_FALLBACK_BOUNDS)
+
+
+REFERENCE_ENV_STEPS_PER_S = _load_bounds()
 
 # bf16 MXU peak per chip, by device kind — used only for the MFU lines.
 PEAK_FLOPS = {
@@ -70,6 +98,10 @@ def build_trainer(workload, backend, timing_every=10):
 
     if workload == "cheetah":
         env = normalize(make_env("HalfCheetahRandVelEnv"))
+    elif workload == "ant":
+        env = normalize(make_env("AntRandGoalEnv"))
+    elif workload == "humanoid":
+        env = normalize(make_env("HumanoidRandDirecEnv"))
     else:
         env = normalize(MetaPointEnvCorner())
     policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
@@ -247,7 +279,7 @@ def main():
     ap.add_argument("--only", default="all",
                     choices=["all", "pointmass", "pointmass_pallas",
                              "pointmass_default", "pointmass_onejit",
-                             "cheetah"],
+                             "cheetah", "ant", "humanoid"],
                     help="run one workload instead of the full suite")
     ap.add_argument("--no-mfu", action="store_true",
                     help="skip the FLOPs/MFU accounting lines")
@@ -278,6 +310,10 @@ def main():
         run_onejit(jax, "pointmass")
     if args.only in ("all", "cheetah"):
         run_fused(jax, "cheetah", "scan", mfu=mfu)
+    if args.only in ("all", "ant"):
+        run_fused(jax, "ant", "scan", mfu=False)
+    if args.only in ("all", "humanoid"):
+        run_fused(jax, "humanoid", "scan", mfu=False)
 
 
 if __name__ == "__main__":

@@ -64,46 +64,90 @@ def timeit(fn, min_time=0.5):
             return dt / n
 
 
-def mujoco_cheetah_step_cost():
-    """Per-env-step cost of the reference's cheetah physics, measured with
-    the REAL MuJoCo library on this host: 5 x mj_step (frame_skip,
-    half_cheetah.py) + the python obs/reward work the RandomEnv subclass
-    does per step (get_body_com, obs concat, reward arithmetic —
-    half_cheetah_rand_vel.py:16-30)."""
+MUJOCO_WORKLOADS = {
+    # xml asset, frame_skip, python-side per-step obs/reward builder name
+    "cheetah": ("half_cheetah.xml", 5),
+    "ant": ("ant.xml", 5),
+    "humanoid": ("humanoid.xml", 5),
+}
+
+
+def mujoco_step_cost(workload):
+    """Per-env-step cost of the reference's physics for ``workload``,
+    measured with the REAL MuJoCo library on this host: frame_skip x
+    mj_step + the python obs/reward work the reference env does per step.
+
+    cheetah: half_cheetah_rand_vel.py:16-30 (obs concat + reward arith).
+    ant:     ant_rand_goal.py:32-58 (obs = qpos, qvel, clip(cfrc_ext);
+             L1 goal reward + ctrl and contact costs).
+    humanoid: humanoid_rand_direc.py:34-56 (obs = qpos[2:], qvel, cinert,
+             cvel, qfrc_actuator, cfrc_ext; mass_center reward + costs).
+    """
     import gymnasium
     import mujoco
 
+    xml, frame_skip = MUJOCO_WORKLOADS[workload]
     assets = os.path.join(os.path.dirname(gymnasium.__file__),
                           "envs/mujoco/assets")
-    m = mujoco.MjModel.from_xml_path(
-        os.path.join(assets, "half_cheetah.xml"))
+    m = mujoco.MjModel.from_xml_path(os.path.join(assets, xml))
     d = mujoco.MjData(m)
     rng = np.random.RandomState(0)
     actions = rng.uniform(-1, 1, (64, m.nu))
+    mass = np.expand_dims(m.body_mass, 1)
+    goal = np.array([1.0, 1.0])
 
     def one_env_step(i=[0]):
         a = actions[i[0] % 64]
         i[0] += 1
         d.ctrl[:] = a
-        for _ in range(5):
+        for _ in range(frame_skip):
             mujoco.mj_step(m, d)
         # python-side per-step work (reference env.step body)
-        obs = np.concatenate([d.qpos.flat[1:], d.qvel.flat,
-                              d.subtree_com[1].flat])
-        fwd_vel = d.qvel[0]
-        reward = -np.abs(fwd_vel - 1.0) - 0.05 * np.sum(np.square(a))
+        if workload == "cheetah":
+            obs = np.concatenate([d.qpos.flat[1:], d.qvel.flat,
+                                  d.subtree_com[1].flat])
+            fwd_vel = d.qvel[0]
+            reward = -np.abs(fwd_vel - 1.0) - 0.05 * np.sum(np.square(a))
+        elif workload == "ant":
+            cfrc = np.clip(d.cfrc_ext, -1, 1)
+            obs = np.concatenate([d.qpos.flat, d.qvel.flat, cfrc.flat])
+            reward = (-np.sum(np.abs(d.qpos[:2] - goal))
+                      - 0.1 * np.square(a).sum()
+                      - 0.5e-3 * np.square(cfrc).sum())
+        else:  # humanoid
+            obs = np.concatenate([d.qpos.flat[2:], d.qvel.flat,
+                                  d.cinert.flat, d.cvel.flat,
+                                  d.qfrc_actuator.flat, d.cfrc_ext.flat])
+            pos = (np.sum(mass * d.xipos, 0) / np.sum(mass))[0]
+            reward = (0.25 * pos / m.opt.timestep
+                      - 0.1 * np.square(a).sum()
+                      + min(0.5e-6 * np.square(d.cfrc_ext).sum(), 10.0) + 5.0)
         return obs, reward
 
     return timeit(one_env_step, min_time=1.0)
 
 
+OBS_ACT_DIMS = {
+    # reference observation/action dims per workload (the pipe payload +
+    # policy-forward sizes): cheetah 20/6 (half_cheetah_rand_vel.py),
+    # ant 111/8 = 15 qpos + 14 qvel + 14*6 cfrc (ant_rand_goal.py:52-58),
+    # humanoid 376/17 (humanoid_rand_direc.py:34-41)
+    "pointmass": (2, 2),
+    "cheetah": (20, 6),
+    "ant": (111, 8),
+    "humanoid": (376, 17),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="pointmass",
-                    choices=["pointmass", "cheetah"])
+                    choices=["pointmass", "cheetah", "ant", "humanoid"])
+    ap.add_argument("--update-json", action="store_true",
+                    help="merge the measured bound into benchmarks/"
+                         "bounds.json (read by bench.py for vs_baseline)")
     args = ap.parse_args()
-    obs_dim = 2 if args.workload == "pointmass" else 20
-    act_dim = 2 if args.workload == "pointmass" else 6
+    obs_dim, act_dim = OBS_ACT_DIMS[args.workload]
 
     rng = np.random.RandomState(0)
     obs = rng.randn(N_ENVS, obs_dim).astype(np.float64)
@@ -168,10 +212,10 @@ def main():
     t_pipe = timeit(pipe_round_trip)
     t_book = timeit(bookkeeping)
     ncores = os.cpu_count() or 1
-    if args.workload == "cheetah":
+    if args.workload in MUJOCO_WORKLOADS:
         # real MuJoCo physics, granted perfect parallel speedup over all
         # host cores (workers run concurrently; the parent terms cannot)
-        t_env_serial_per_step = mujoco_cheetah_step_cost()
+        t_env_serial_per_step = mujoco_step_cost(args.workload)
         t_env = t_env_serial_per_step * N_ENVS / ncores
         env_note = (f"real mujoco mj_step x5 ({t_env_serial_per_step*1e6:.1f}"
                     f" us/env-step serial) / {ncores} cores")
@@ -180,6 +224,24 @@ def main():
         env_note = "python point-env step, serial"
     t_total = t_policy + t_pipe + t_env + t_book
     steps_per_s = N_ENVS / t_total
+
+    if args.update_json:
+        import platform
+        path = os.path.join(os.path.dirname(__file__), "bounds.json")
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data.setdefault("bounds", {})
+        # keep the HIGHEST measured bound (most optimistic for the
+        # reference) unless the host fingerprint changed
+        fp = f"{platform.node()}:{ncores}cores"
+        if data.get("host") != fp:
+            data = {"host": fp, "bounds": {}}
+        prev = data["bounds"].get(args.workload, 0.0)
+        data["bounds"][args.workload] = max(prev, round(steps_per_s, 1))
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
 
     print(json.dumps({
         "workload": args.workload,
