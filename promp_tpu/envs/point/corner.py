@@ -57,8 +57,15 @@ class MetaPointEnvCorner(TaskEnv):
         else:  # sparse (point_env_2d_corner.py:68-75)
             dist_from_start = jnp.sum(jnp.abs(new))
             corner_dists = jnp.linalg.norm(new[None, :] - CORNERS, axis=-1)
-            progress = jnp.linalg.norm(prev - task) - goal_distance
-            goal_is_nearest = goal_distance <= jnp.min(corner_dists)
+            # the goal distance uses the SAME axis-reduction norm form as
+            # corner_dists: the reference computes both that way
+            # (point_env_2d_corner.py:63,72), and mixing in the dot-based
+            # vector norm can round 1 ulp differently and flip the
+            # nearest-corner tie test at the goal corner (r5 oracle find)
+            goal_dist_c = jnp.linalg.norm((new - task)[None, :], axis=-1)[0]
+            progress = (jnp.linalg.norm((prev - task)[None, :], axis=-1)[0]
+                        - goal_dist_c)
+            goal_is_nearest = goal_dist_c <= jnp.min(corner_dists)
             reward = jnp.where(
                 dist_from_start < self.sparse_reward_radius,
                 0.0,

@@ -12,13 +12,13 @@ ProMP meta-iterations:
     np.random.choice point_env_2d_corner.py:86-87; resets :50; per-step
     numpy action noise gaussian_mlp_policy.py:112-113); the oracle
     recomputes every env transition + reward from the sampled actions in
-    independent float64 numpy -> BITWISE equality.
+    independent float64 numpy -> equal to ~2 ulp (branch decisions exact).
   * processing: discount_cumsum returns (utils.py:74-81), linear feature
     baseline via regularized normal-equations lstsq
     (linear_baseline.py:55-77, 101-106), GAE (samplers/base.py:151-162),
     per-task advantage normalization (utils.py:59-63) -> <= 1e-10.
   * inner adaptation theta' = theta - alpha (.) grad(-E[LR*A])
-    (meta_algos/base.py:192-215, pro_mp.py:59-65) -> <= 1e-9.
+    (meta_algos/base.py:192-215, pro_mp.py:59-65) -> <= 1e-7.
   * ProMP outer: second-order meta-gradient through the unrolled inner
     step of the clipped surrogate + inner-KL penalty (pro_mp.py:124-155),
     multi-epoch full-batch Adam with persistent slots
@@ -64,10 +64,17 @@ def oracle_rewards(observations, actions, goal):
             if np.linalg.norm(new, ord=1) < 0.5:
                 rewards[e, t] = 0.0
             else:
+                # the goal distance and the per-corner distances MUST use
+                # the same norm form (axis-reduction), exactly as the
+                # reference env does (point_env_2d_corner.py:63,72) — the
+                # dot-based np.linalg.norm(vec) rounds differently by
+                # 1 ulp, which flips the == tie test at the goal corner
                 dists = np.linalg.norm(new[None] - CORNERS, axis=-1)
-                gd = np.linalg.norm(new - goal)
+                gd = np.linalg.norm(new[None] - np.asarray(goal)[None],
+                                    axis=-1)[0]
                 if gd == dists.min():
-                    rewards[e, t] = np.linalg.norm(prev - goal) - gd
+                    rewards[e, t] = np.linalg.norm(
+                        prev[None] - np.asarray(goal)[None], axis=-1)[0] - gd
                 else:
                     rewards[e, t] = 0.0
     return rewards
@@ -232,13 +239,32 @@ def to_task_views(paths, processed_adv):
 
 
 @pytest.mark.filterwarnings("ignore")
-def test_two_meta_iterations_match_oracle():
+@pytest.mark.parametrize("bias", [0.0, 3.0])
+def test_two_meta_iterations_match_oracle(bias):
+    # bias=0: the xavier init keeps every trajectory inside the corner
+    # env's L1<0.5 dead zone -> all advantages are ZERO, the surrogate
+    # branch is trivial, but the inner-KL-penalty + Adam path is pinned
+    # at the tightest tolerances. bias=3: trajectories cross into the
+    # rewarding region, the clipped surrogate and likelihood ratios are
+    # fully exercised; the larger activations amplify jax-vs-torch
+    # float64 rounding, so tolerances widen to 2e-6/1e-5 (still far
+    # below any semantic difference).
+    tol_adapt = 1e-7 if bias == 0.0 else 2e-6
+    tol_final = 1e-6 if bias == 0.0 else 1e-5
     with jax.enable_x64():
         policy = GaussianMLPPolicy(obs_dim=2, action_dim=2,
                                    hidden_sizes=HIDDEN)
         params32 = policy.init(jax.random.PRNGKey(0))
         params = {k: jnp.asarray(np.asarray(v), jnp.float64)
                   for k, v in params32.items()}
+        # bias the output layer so trajectories leave the corner env's
+        # L1 < 0.5 zero-reward zone: at the xavier init every reward is
+        # zero and the clipped-surrogate branch of the objective would be
+        # compared at identically-zero advantages (round-5 finding; the
+        # non-degeneracy assert below keeps it honest)
+        if bias:
+            params["mean_network/output/bias"] = jnp.asarray(
+                [bias, bias], jnp.float64)
         algo = ProMP(policy=policy, inner_lr=INNER_LR, learning_rate=LR,
                      num_ppo_steps=PPO_STEPS, clip_eps=CLIP_EPS,
                      init_inner_kl_penalty=KL_COEFF,
@@ -265,16 +291,24 @@ def test_two_meta_iterations_match_oracle():
             # ---- round 0 ----
             paths0 = sampler.obtain_samples(task_params, tasks,
                                             floor_std=True)
-            # oracle env math: bitwise reward recompute
+            # oracle env math: reward recompute. Values agree to ~2 ulp
+            # (jnp's and numpy's axis-norms round differently in the last
+            # bit); the BRANCH decisions (dead zone, nearest-corner tie)
+            # are exact — a flip would show as 0 vs O(0.1), far beyond
+            # this tolerance.
             for i, path in enumerate(paths0):
-                np.testing.assert_array_equal(
+                np.testing.assert_allclose(
                     oracle_rewards(path["observations"], path["actions"],
                                    tasks[i]),
-                    path["rewards"])
+                    path["rewards"], atol=1e-12, rtol=0)
 
             samples0 = _to_batched(paths0)
             proc0 = proc.process(dict(samples0))
             proc0.pop("stats")
+            if bias:
+                assert sum(float(np.abs(p["rewards"]).sum())
+                           for p in paths0) > 1e-3, \
+                    "degenerate data: all rewards zero"
 
             # oracle processing
             adv0 = []
@@ -300,7 +334,7 @@ def test_two_meta_iterations_match_oracle():
                     np.testing.assert_allclose(
                         np.asarray(jax.tree.map(lambda x: x[i],
                                                 adapted)[k]),
-                        o_adapt[k].detach().numpy(), atol=1e-9)
+                        o_adapt[k].detach().numpy(), atol=tol_adapt)
 
             # ---- round 1 with adapted params ----
             paths1 = sampler.obtain_samples(adapted, tasks, floor_std=False)
@@ -324,7 +358,7 @@ def test_two_meta_iterations_match_oracle():
             for k in tp:
                 np.testing.assert_allclose(
                     np.asarray(train_state["params"][k]),
-                    tp[k].detach().numpy(), atol=1e-6,
+                    tp[k].detach().numpy(), atol=tol_final,
                     err_msg=f"iteration {itr} param {k}")
 
 
