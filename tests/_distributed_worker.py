@@ -1,4 +1,4 @@
-"""Subprocess worker for the 2-process distributed test (SURVEY.md §2.9 P5).
+"""Subprocess worker for the multi-process distributed tests (SURVEY.md §2.9 P5).
 
 Each process: `jax.distributed.initialize` against a localhost coordinator
 (the TPU-world analog of the reference's MPI rank awareness,
@@ -25,15 +25,17 @@ def main():
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--port", type=int, default=9911)
+    ap.add_argument("--mesh-size", type=int, default=2)
     ap.add_argument("--out", required=True)
     ap.add_argument("--logdir", required=True)
     args = ap.parse_args()
 
     if args.num_processes == 1:
-        # single-process comparison run: 2 virtual devices in-process
+        # single-process comparison run: mesh-size virtual devices
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=2").strip()
+            + f" --xla_force_host_platform_device_count={args.mesh_size}"
+            ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
@@ -46,7 +48,7 @@ def main():
     init_distributed(coordinator_address=f"localhost:{args.port}",
                      num_processes=args.num_processes,
                      process_id=args.process_id)
-    assert jax.device_count() == 2, jax.device_count()
+    assert jax.device_count() == args.mesh_size, jax.device_count()
 
     import numpy as np
 
@@ -57,7 +59,7 @@ def main():
     from promp_tpu.trainer import Trainer
     from promp_tpu.utils import logger
 
-    mesh = make_mesh(2)
+    mesh = make_mesh(args.mesh_size)
     env = normalize(MetaPointEnvCorner(reward_type="dense"))
     policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
                                action_dim=env.action_dim,
@@ -67,7 +69,7 @@ def main():
     trainer = Trainer(
         algo=algo, env=env, policy=policy,
         sample_processor=SampleProcessor(normalize_adv=True),
-        meta_batch_size=4, rollouts_per_meta_task=2,
+        meta_batch_size=2 * args.mesh_size, rollouts_per_meta_task=2,
         max_path_length=5, n_itr=1, seed=0, fused=True, mesh=mesh)
 
     rng = jax.random.PRNGKey(0)
