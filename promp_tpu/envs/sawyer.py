@@ -52,7 +52,14 @@ REACH_RADIUS = 0.08
 
 # shaped-reward constants (multiworld-lineage, see module docstring)
 C1, C2, C3 = 1000.0, 0.01, 0.001
-REACH_GATE = 0.05
+# multiworld gates the push bonus at fingerCOM-to-object < 0.05, where
+# the fingers can straddle the object (reachDist -> ~0). Here the EE and
+# object are SPHERES whose centers cannot get closer than the sum of
+# their radii (0.07 in the push scene), so the gate is expressed as a
+# margin above surface contact — a 400-iteration round-5 run with the
+# raw 0.05 gate converged to reachDist 0.077 with the bonus never firing
+# (benchmarks/validation/SawyerPushEnv_shaped_r5).
+TOUCH_MARGIN = 0.04
 
 
 def progress_bonus(dist, max_dist):
@@ -95,6 +102,13 @@ class SawyerBase(TaskEnv):
                                  self.frame_skip)
         return dict(state, q=q, qd=qd)
 
+    @property
+    def reach_gate(self):
+        """Center distance at which the EE counts as 'at the object': the
+        scene's surface-contact distance plus TOUCH_MARGIN."""
+        r = self.model.con_radius
+        return float(r[0] + r[1]) + TOUCH_MARGIN
+
     def _ee(self, state):
         return state["q"][:3]
 
@@ -114,7 +128,7 @@ class SawyerPushEnv(SawyerBase):
 
     Task = goal (x, y) for the object; obs = [ee(3), obj(3)]. Reward is
     the multiworld-lineage shaping (module docstring):
-    ``-reachDist + [reachDist < 0.05] * progress_bonus(placeDist,
+    ``-reachDist + [reachDist < reach_gate] * progress_bonus(placeDist,
     maxPushDist)`` with maxPushDist = the object-to-goal distance at
     reset (carried in env state). The puck moves only by real EE-puck
     contact forces and decelerates by table friction."""
@@ -153,7 +167,7 @@ class SawyerPushEnv(SawyerBase):
         reach_dist = jnp.linalg.norm(self._ee(state) - self._obj(state))
         place_dist = jnp.linalg.norm(self._obj(state)[:2] - task)
         reach_rew = -reach_dist
-        push_rew = jnp.where(reach_dist < REACH_GATE,
+        push_rew = jnp.where(reach_dist < self.reach_gate,
                              progress_bonus(place_dist,
                                             state["max_push_dist"]),
                              0.0)
@@ -299,7 +313,7 @@ class SawyerPickAndPlaceEnv(SawyerPushEnv):
         pick_rew = jnp.where(state["grasp"] > 0.0,
                              100.0 * jnp.minimum(height_target, obj_z),
                              0.0)
-        place_rew = jnp.where(reach_dist < 2 * REACH_GATE,
+        place_rew = jnp.where(reach_dist < self.reach_gate,
                               progress_bonus(place_dist,
                                              state["max_place_dist"]),
                               0.0)
