@@ -72,9 +72,14 @@ class Engine:
     # (tests/test_planar.py); set False to force the generic path.
     use_planar: bool = True
     # scalar-unrolled 3-D fast path (envs/mujoco/spatial.py) for the
-    # non-planar bodies (ant / humanoid). Planar wins where eligible;
-    # set False to force the generic tensor path.
+    # non-planar bodies. Planar wins where eligible; set False to force
+    # the generic tensor path. Gated by nv: at ant size (nv=14) the
+    # scalar program wins 3.1x (325 vs 991 us/substep, batch 800), but
+    # at humanoid size (nv=23, ~26k scalar ops) it RUNS SLOWER than the
+    # generic path with the column-unrolled solver (811 vs 724 us) and
+    # costs a 24-minute XLA compile — measured round 5, RESULTS.md.
     use_spatial: bool = True
+    spatial_max_nv: int = 16
 
     # ------------------------------------------------------------------- fk
     def fk(self, q):
@@ -191,18 +196,22 @@ class Engine:
 
     # ---------------------------------------------------------- mass matrix
     def _mass_from_kin(self, kin, mods=None):
+        # f32 matmul precision throughout: M's PSD structure must survive
+        # to the 1e-5-regularized solve (see substep docstring)
         m = self.model
         dt = self.dtype
+        hi = jax.lax.Precision.HIGHEST
         ancestor = jnp.asarray(m.ancestor_mask(), dt)
         Jp, Jr = self._body_jacobians(kin, ancestor)
         mass = self._phys(mods, "body_mass", m.body_mass)
         R_b = jax.vmap(quat_to_mat)(kin["body_quat"])
         R_i = jax.vmap(quat_to_mat)(jnp.asarray(m.body_iquat, dt))
-        R = R_b @ R_i                                  # inertial frame in world
+        R = jnp.matmul(R_b, R_i, precision=hi)   # inertial frame in world
         inertia = self._phys(mods, "body_inertia", m.body_inertia)
-        I_world = R @ (inertia[:, :, None] * jnp.swapaxes(R, 1, 2))
-        M = (jnp.einsum("biv,b,biw->vw", Jp, mass, Jp)
-             + jnp.einsum("biv,bij,bjw->vw", Jr, I_world, Jr))
+        I_world = jnp.matmul(R, inertia[:, :, None] * jnp.swapaxes(R, 1, 2),
+                             precision=hi)
+        M = (jnp.einsum("biv,b,biw->vw", Jp, mass, Jp, precision=hi)
+             + jnp.einsum("biv,bij,bjw->vw", Jr, I_world, Jr, precision=hi))
         return M + jnp.diag(jnp.asarray(m.dof_armature, dt))
 
     def mass_matrix(self, q, mods=None):
@@ -538,6 +547,20 @@ class Engine:
         and shared by the mass matrix / contacts / fluid / RNEA; the
         Coriolis + gravity bias comes from the O(nb) rnea_bias velocity
         pass (no autodiff in the hot path).
+
+        The (M + hC + h²K) ASSEMBLY einsums run at float32 matmul
+        precision (the force-path einsums stay at the TPU default):
+        bf16 MXU inputs put ~1e-2 relative error into the mass-matrix /
+        implicit-contact einsums, which swamps the 1e-5 Tikhonov
+        regularization exactly where it matters — the near-singular
+        gimbal-lock corner — and the clamped-pivot solve then amplifies
+        the indefinite system into overflow/NaN. Root-caused in round 5
+        by replaying a captured diverging AntRandDirec instance: NaN
+        under bf16, finite (and CPU-identical) under f32 precision
+        (tests/test_engine.py::test_gimbal_lock_capture_stays_finite).
+        Force-term noise is bounded and cannot destabilize the solve,
+        so it keeps the cheap path (a blanket f32 wrap measured +49%
+        on the humanoid substep; the targeted one is ~free).
         """
         m = self.model
         dt = self.dtype
@@ -574,7 +597,8 @@ class Engine:
             # MuJoCo-native substep counts.
             coef = jnp.stack([h * ct, h * ct, h * cn + h * h * kn],
                              axis=-1)                        # (nc, 3)
-            A_con = jnp.einsum("civ,ci,ciw->vw", J, coef, J)
+            A_con = jnp.einsum("civ,ci,ciw->vw", J, coef, J,
+                               precision=jax.lax.Precision.HIGHEST)
             # RHS mate of the h² Jnᵀ K Jn term (see diag comment above)
             vz = jnp.einsum("cv,v->c", J[:, 2], qd)
             tau = tau - h * jnp.einsum("cv,c->v", J[:, 2], kn * vz)
@@ -584,7 +608,8 @@ class Engine:
             tau_p, Jp_, Cp, Kp = self._pair_terms(q, qd, mods, kin)
             tau = tau + tau_p
             A_con = A_con + jnp.einsum(
-                "civ,cij,cjw->vw", Jp_, h * Cp + h * h * Kp, Jp_)
+                "civ,cij,cjw->vw", Jp_, h * Cp + h * h * Kp, Jp_,
+                precision=jax.lax.Precision.HIGHEST)
             tau = tau - h * jnp.einsum(
                 "civ,cij,cjw,w->v", Jp_, Kp, Jp_, qd)
         # A is SPD up to the gimbal-lock singularity of Euler free roots —
@@ -634,7 +659,7 @@ class Engine:
     def _spatial_substep(self):
         """Cached 3-D scalar fast-path substep, or None if ineligible."""
         def build():
-            if self.use_spatial:
+            if self.use_spatial and self.model.nv <= self.spatial_max_nv:
                 from promp_tpu.envs.mujoco import spatial
                 if spatial.spatial_ok(self.model):
                     return spatial.make_spatial_substep(self)

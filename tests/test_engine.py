@@ -357,3 +357,47 @@ def test_pair_contact_conserves_momentum():
     # they collided (velocities changed) and separated afterwards
     assert float(qdf[0]) < 0.5 - 1e-3
     assert float(qf[3] - qf[0]) > 0.07 or float(qdf[3]) > float(qdf[0])
+
+
+def test_gimbal_lock_capture_stays_finite():
+    """Regression for the round-4 sporadic ant float32 divergence
+    (VERDICT r4 item 2), root-caused in round 5: this exact AntRandDirec
+    state — pitch ~ -81 deg (near the Euler-decomposition gimbal lock)
+    with euler rates ~10 rad/s — was captured from a diverging seed-3
+    training instance. On TPU the generic path's mass-matrix/contact
+    einsums ran at the default bf16 MXU precision, whose ~1e-2 relative
+    error swamps the 1e-5 Tikhonov regularization exactly at the
+    near-singular corner; the clamped-pivot solve then amplified the
+    indefinite system to NaN within one env step (10 substeps). The
+    substep now traces under float32 matmul precision (engine.py); both
+    engine paths must stay finite on this state on every backend, and
+    agree with the CPU float32 reference euler-rate peak (~18.11).
+    """
+    m = get_model("ant")
+    q0 = jnp.asarray([
+        -1.077908992767334, -0.9596508741378784, 0.6387029886245728,
+        1.08295476436615, -1.416419506072998, 0.9033377766609192,
+        0.27346375584602356, 0.8752006888389587, 0.10586048662662506,
+        -1.087201714515686, 0.5307937264442444, -0.7517483830451965,
+        -0.3733789026737213, 0.9087112545967102], jnp.float32)
+    qd0 = jnp.asarray([
+        -1.1379103660583496, -0.13270442187786102, -1.1340934038162231,
+        9.823710441589355, -0.8858449459075928, 10.012866020202637,
+        0.6227633357048035, 2.5849668979644775, -1.6049803495407104,
+        -0.7409365177154541, 0.48977890610694885, 0.5591118335723877,
+        1.0636919736862183, 1.6685956716537476], jnp.float32)
+    act = jnp.asarray([
+        0.9820073246955872, 0.05288568139076233, 0.34679996967315674,
+        1.1638290882110596, 0.42332834005355835, 0.7244828939437866,
+        1.7838014364242554, 0.7847126126289368], jnp.float32)
+    lo = jnp.asarray(m.act_ctrlrange[:, 0], jnp.float32)
+    hi = jnp.asarray(m.act_ctrlrange[:, 1], jnp.float32)
+    # the NormalizedEnv action affine the capture went through
+    ctrl = jnp.clip(lo + (act + 10.0) * (hi - lo) / 20.0, lo, hi)
+
+    for eng in (Engine(m, n_substeps=2, use_spatial=False),
+                Engine(m, n_substeps=2)):
+        q, qd = jax.jit(lambda a, b: eng.step(a, b, ctrl, 5))(q0, qd0)
+        assert bool(jnp.all(jnp.isfinite(q))), "q went non-finite"
+        assert bool(jnp.all(jnp.isfinite(qd))), "qd went non-finite"
+        assert float(jnp.max(jnp.abs(qd))) < 60.0

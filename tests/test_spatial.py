@@ -71,6 +71,11 @@ def test_step_selection():
     ant = get_model("ant")
     assert Engine(ant)._spatial_substep is not None
     assert Engine(ant, use_spatial=False)._spatial_substep is None
+    # humanoid (nv=23) is gated OFF by size: the scalar program measured
+    # slower there than generic + column-unrolled solve (engine.py note)
+    assert Engine(get_model("humanoid"))._spatial_substep is None
+    assert Engine(get_model("humanoid"),
+                  spatial_max_nv=23)._spatial_substep is not None
     # planar-eligible models still prefer the planar path in step()
     cheetah = get_model("half_cheetah")
     e = Engine(cheetah)
