@@ -80,6 +80,13 @@ class Engine:
     # costs a 24-minute XLA compile — measured round 5, RESULTS.md.
     use_spatial: bool = True
     spatial_max_nv: int = 16
+    # XLA:CPU's optimizer miscompiles the large scalar program for some
+    # states (round-5 finding: jit output NaN while jax_debug_nans'
+    # de-optimized replay of the SAME program is finite, and the TPU
+    # compile of the same state is finite and bit-identical to eager) —
+    # so the fast path is not auto-selected on the CPU backend. Parity
+    # tests construct the substep directly and can opt back in here.
+    spatial_on_cpu: bool = False
 
     # ------------------------------------------------------------------- fk
     def fk(self, q):
@@ -660,6 +667,8 @@ class Engine:
         """Cached 3-D scalar fast-path substep, or None if ineligible."""
         def build():
             if self.use_spatial and self.model.nv <= self.spatial_max_nv:
+                if jax.default_backend() == "cpu" and not self.spatial_on_cpu:
+                    return None   # XLA:CPU miscompile — see field comment
                 from promp_tpu.envs.mujoco import spatial
                 if spatial.spatial_ok(self.model):
                     return spatial.make_spatial_substep(self)

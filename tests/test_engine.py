@@ -396,7 +396,7 @@ def test_gimbal_lock_capture_stays_finite():
     ctrl = jnp.clip(lo + (act + 10.0) * (hi - lo) / 20.0, lo, hi)
 
     for eng in (Engine(m, n_substeps=2, use_spatial=False),
-                Engine(m, n_substeps=2)):
+                Engine(m, n_substeps=2, spatial_on_cpu=True)):
         q, qd = jax.jit(lambda a, b: eng.step(a, b, ctrl, 5))(q0, qd0)
         assert bool(jnp.all(jnp.isfinite(q))), "q went non-finite"
         assert bool(jnp.all(jnp.isfinite(qd))), "qd went non-finite"

@@ -67,14 +67,19 @@ def test_substep_matches_generic_with_mods(name):
 
 
 def test_step_selection():
-    """planar > spatial > generic precedence, and flags disable each."""
+    """planar > spatial > generic precedence, and flags disable each.
+    On the CPU backend (this test harness) the spatial path is gated OFF
+    by default (XLA:CPU miscompile, engine.py spatial_on_cpu note)."""
     ant = get_model("ant")
-    assert Engine(ant)._spatial_substep is not None
-    assert Engine(ant, use_spatial=False)._spatial_substep is None
+    assert Engine(ant)._spatial_substep is None          # cpu default
+    assert Engine(ant, spatial_on_cpu=True)._spatial_substep is not None
+    assert Engine(ant, spatial_on_cpu=True,
+                  use_spatial=False)._spatial_substep is None
     # humanoid (nv=23) is gated OFF by size: the scalar program measured
     # slower there than generic + column-unrolled solve (engine.py note)
-    assert Engine(get_model("humanoid"))._spatial_substep is None
     assert Engine(get_model("humanoid"),
+                  spatial_on_cpu=True)._spatial_substep is None
+    assert Engine(get_model("humanoid"), spatial_on_cpu=True,
                   spatial_max_nv=23)._spatial_substep is not None
     # planar-eligible models still prefer the planar path in step()
     cheetah = get_model("half_cheetah")
@@ -82,13 +87,14 @@ def test_step_selection():
     assert e._planar_substep is not None
     # swimmer (fluid medium) is ineligible for both fast paths
     assert not spatial.spatial_ok(get_model("swimmer"))
-    assert Engine(get_model("swimmer"))._spatial_substep is None
+    assert Engine(get_model("swimmer"),
+                  spatial_on_cpu=True)._spatial_substep is None
 
 
 def test_step_trajectories_match():
     """Multi-frame Engine.step: spatial on vs off, same ant trajectory."""
     m = get_model("ant")
-    on = Engine(m, n_substeps=2)
+    on = Engine(m, n_substeps=2, spatial_on_cpu=True)
     off = Engine(m, n_substeps=2, use_spatial=False)
     q, qd, _tau = _batch(m, 2, spread=0.05)
     ctrl = jnp.asarray(np.random.RandomState(3).uniform(
@@ -106,7 +112,7 @@ def test_deep_rollout_stays_finite():
     """200 frames of torque-driven ant on the spatial path stays finite
     and close to the generic path's qpos envelope."""
     m = get_model("ant")
-    eng = Engine(m, n_substeps=2)
+    eng = Engine(m, n_substeps=2, spatial_on_cpu=True)
     rng = np.random.RandomState(4)
     B = 4
     q = jnp.asarray(np.tile(m.init_qpos, (B, 1))
