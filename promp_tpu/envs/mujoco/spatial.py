@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from promp_tpu.envs.mujoco.model import HINGE
@@ -483,60 +484,80 @@ def make_spatial_substep(engine):
                 for j in range(nv)]
 
         # ------------------------------------------------------ contacts
+        # TENSORIZED block (round-5 revision): the fully scalar per-
+        # contact pair loops put ~6k extra ops into the program and blew
+        # the remote XLA compile of the full training programs to
+        # 45+ minutes each (the standalone substep compiled in 62 s).
+        # Stacking the trace-time scalars into small (nc, ...) tensors
+        # shrinks this block to a handful of ops — runtime stays tiny
+        # (37x14x3 tensors) and the program returns to the planar path's
+        # known-good compile scale. The J einsums run at f32 matmul
+        # precision (they assemble the implicit A — see engine.substep).
         zero = jnp.zeros_like(qs[0])
         tau_con = [0.0] * nv
         Aent = {}
-        for ci in range(nc):
-            b = con_body[ci]
-            P_abs = _vadd(p[b], _matvec(R[b], tuple(con_pos[ci])))
-            Pr = _vsub(P_abs, origin)
-            # point velocity from the body spatial velocity
-            vel = _vadd(Vv[b], _cross(Vw[b], Pr))
-            phi = _sub(P_abs[2], con_radius[ci])
+        if nc:
+            hi_prec = jax.lax.Precision.HIGHEST
+
+            def stack_rows(rows):
+                return jnp.stack([jnp.stack([_add(e, zero) for e in r])
+                                  for r in rows])
+
+            P_abs = stack_rows(
+                [_vadd(p[con_body[ci]],
+                       _matvec(R[con_body[ci]], tuple(con_pos[ci])))
+                 for ci in range(nc)])                      # (nc, 3)
+            orig = jnp.stack([_add(origin[k], zero) for k in range(3)])
+            Pr = P_abs - orig[None, :]
+            Vw_c = stack_rows([Vw[con_body[ci]] for ci in range(nc)])
+            Vv_c = stack_rows([Vv[con_body[ci]] for ci in range(nc)])
+            vel = Vv_c + jnp.cross(Vw_c, Pr)                # (nc, 3)
+            radius = jnp.asarray(np.asarray(con_radius), q.dtype)
+            phi = P_abs[:, 2] - radius
             in_con = (phi < 0.0).astype(q.dtype)
-            fn = _mul(jnp.maximum(_sub(_mul(k_con, -phi),
-                                       _mul(c_con, vel[2])), 0.0), in_con)
-            vt_norm = jnp.sqrt(_add(_add(_mul(vel[0], vel[0]),
-                                         _mul(vel[1], vel[1])), 1e-8))
-            ct_eff = _mul(jnp.minimum(ct_max, friction * fn / vt_norm),
-                          in_con)
-            active = _mul(in_con, (fn > 0.0).astype(q.dtype))
-            cn_eff = _mul(c_con, active)
-            kn_eff = _mul(k_con, active)
-            wt = _mul(h, ct_eff)
-            wn = _add(_mul(h, cn_eff), _mul(_mul(h, h), kn_eff))
-            # force for tau, with the RHS mate of the implicit h^2 K term
-            # folded into the normal component (engine.py:572-574)
-            fz = _sub(fn, _mul(h, _mul(kn_eff, vel[2])))
-            fx = _mul(-ct_eff, vel[0])
-            fy = _mul(-ct_eff, vel[1])
-            dofs = anc_dofs[b]
-            cols = []
-            for j in dofs:
-                if is_hinge[j]:
-                    cols.append(_cross(axis_w[j], _vsub(Pr, anchor_rel[j])))
-                else:
-                    cols.append(axis_w[j])
-            for dj, col in zip(dofs, cols):
-                tau_con[dj] = _add(tau_con[dj],
-                                   _add(_add(_mul(col[0], fx),
-                                             _mul(col[1], fy)),
-                                        _mul(col[2], fz)))
-            # implicit A += h ct (Jx Jx^T + Jy Jy^T) + (h cn + h^2 kn) Jz Jz^T
-            wtx = [_mul(wt, col[0]) for col in cols]
-            wty = [_mul(wt, col[1]) for col in cols]
-            wnz = [_mul(wn, col[2]) for col in cols]
-            for a in range(len(dofs)):
-                ja = dofs[a]
-                ca = cols[a]
-                for bi in range(a + 1):
-                    jb = dofs[bi]
-                    cb = cols[bi]
-                    key = (max(ja, jb), min(ja, jb))
-                    term = _add(_add(_mul(wtx[a], cb[0]),
-                                     _mul(wty[a], cb[1])),
-                                _mul(wnz[a], cb[2]))
-                    Aent[key] = _add(Aent.get(key, 0.0), term)
+            fn = jnp.maximum(k_con * (-phi) - c_con * vel[:, 2], 0.0) * in_con
+            vt_norm = jnp.sqrt(vel[:, 0]**2 + vel[:, 1]**2 + 1e-8)
+            ct_eff = jnp.minimum(ct_max, friction * fn / vt_norm) * in_con
+            active = in_con * (fn > 0.0)
+            cn_eff = c_con * active
+            kn_eff = k_con * active
+            # force for tau, with the RHS mate of the implicit h^2 K
+            # term folded into the normal row (engine.py:572-574)
+            f_tau = jnp.stack(
+                [-ct_eff * vel[:, 0], -ct_eff * vel[:, 1],
+                 fn - h * kn_eff * vel[:, 2]], axis=-1)     # (nc, 3)
+            axis_mat = stack_rows(axis_w)                   # (nv, 3)
+            anchor_mat = stack_rows(anchor_rel)
+            hinge_mask = jnp.asarray(
+                np.array([1.0 if hh else 0.0 for hh in is_hinge]),
+                q.dtype)[None, :, None]
+            anc_mask = jnp.asarray(
+                np.stack([[1.0 if jj in anc_dofs[con_body[ci]] else 0.0
+                           for jj in range(nv)] for ci in range(nc)]),
+                q.dtype)                                    # (nc, nv)
+            rel = Pr[:, None, :] - anchor_mat[None, :, :]   # (nc, nv, 3)
+            cols3 = (hinge_mask * jnp.cross(
+                jnp.broadcast_to(axis_mat[None], rel.shape), rel)
+                + (1.0 - hinge_mask) * axis_mat[None])
+            J = cols3 * anc_mask[:, :, None]                # (nc, nv, 3)
+            tau_vec = jnp.einsum("cvk,ck->v", J, f_tau, precision=hi_prec)
+            coef = jnp.stack([h * ct_eff, h * ct_eff,
+                              h * cn_eff + h * h * kn_eff], axis=-1)
+            A_con = jnp.einsum("cvk,ck,cwk->vw", J, coef, J,
+                               precision=hi_prec)           # (nv, nv)
+            for j in range(nv):
+                tau_con[j] = tau_vec[j]
+            for bi in range(nb):
+                if not any(con_body[ci] == bi for ci in range(nc)):
+                    continue
+                dofs = anc_dofs[bi]
+                for a in range(len(dofs)):
+                    for c2 in range(a + 1):
+                        key = (max(dofs[a], dofs[c2]),
+                               min(dofs[a], dofs[c2]))
+                        Aent.setdefault(key, None)
+            for key in list(Aent.keys()):
+                Aent[key] = A_con[key[0], key[1]]
 
         # --------------------------------- limits / springs / damping
         tau = [None] * nv
