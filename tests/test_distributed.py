@@ -38,6 +38,10 @@ def _spawn(num_processes, process_id, port, out, logdir, mesh_size=None):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
+    # sys.path[0] of a script run is its own directory (tests/), so the
+    # worker needs the repo root explicitly — don't rely on the parent
+    # environment happening to carry it.
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, WORKER,
          "--process-id", str(process_id),

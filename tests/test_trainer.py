@@ -176,6 +176,61 @@ class TestSweep:
         assert results == [1, 2]
         assert all("exp" in p for _, p in seen)
 
+    def _check_script(self, path):
+        import stat
+        import subprocess
+        assert os.stat(path).st_mode & stat.S_IXUSR
+        subprocess.run(["bash", "-n", path], check=True)  # parses clean
+        return open(path).read()
+
+    def test_docker_mode_generates_launch_artifacts(self, tmp_path):
+        import json as _json
+
+        from promp_tpu.experiment_utils.run_sweep import run_sweep
+        script = run_sweep(None, {"a": [1, 2], "b": [0.5]}, "exp",
+                           base_config={"c": 9}, mode="docker",
+                           data_dir=str(tmp_path),
+                           python_entry="run_scripts/pro-mp_run_mujoco.py")
+        launch = os.path.join(str(tmp_path), "exp", "launch")
+        text = self._check_script(script)
+        assert text.count("docker run") == 2
+        assert "docker build" in text
+        assert os.path.exists(os.path.join(launch, "Dockerfile"))
+        cfgs = sorted(f for f in os.listdir(launch)
+                      if f.startswith("config_"))
+        assert len(cfgs) == 2
+        loaded = [_json.load(open(os.path.join(launch, f))) for f in cfgs]
+        assert {c["a"] for c in loaded} == {1, 2}
+        assert all(c["c"] == 9 and c["b"] == 0.5 for c in loaded)
+
+    def test_slurm_mode_generates_sbatch_per_variant(self, tmp_path):
+        from promp_tpu.experiment_utils.run_sweep import run_sweep
+        script = run_sweep(None, {"a": [1, 2, 3]}, "exp", mode="slurm",
+                           data_dir=str(tmp_path),
+                           python_entry="run_scripts/pro-mp_run_mujoco.py",
+                           slurm_opts={"partition": "tpu",
+                                       "time": "04:00:00"})
+        launch = os.path.dirname(script)
+        submit = self._check_script(script)
+        jobs = sorted(f for f in os.listdir(launch) if f.endswith(".sbatch"))
+        assert len(jobs) == 3
+        assert submit.count("sbatch job_") == 3
+        body = self._check_script(os.path.join(launch, jobs[0]))
+        assert "#SBATCH --partition=tpu" in body
+        assert "#SBATCH --time=04:00:00" in body
+        assert "--config_file" in body and "--dump_path" in body
+
+    def test_gcloud_mode_round_robins_workers(self, tmp_path):
+        from promp_tpu.experiment_utils.run_sweep import run_sweep
+        script = run_sweep(None, {"a": [1, 2, 3]}, "exp", mode="gcloud-tpu",
+                           data_dir=str(tmp_path),
+                           python_entry="run_scripts/pro-mp_run_mujoco.py",
+                           gcloud_workers=["vm-a", "vm-b"])
+        text = self._check_script(script)
+        assert text.count("tpus tpu-vm ssh vm-a") == 2  # variants 0, 2
+        assert text.count("tpus tpu-vm ssh vm-b") == 1
+        assert text.rstrip().endswith("wait")
+
 
 class TestNativeSink:
     def test_async_sink_roundtrip(self, tmp_path):
