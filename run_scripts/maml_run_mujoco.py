@@ -3,9 +3,15 @@
 Entry point mirroring reference run_scripts/maml_run_mujoco.py
 (TRPOMAML with exploration=False, :53-61; inner_type log_likelihood).
 """
+import os
+import sys
+
+# Runnable straight from a checkout: a script's sys.path[0] is run_scripts/,
+# so add the repo root when promp_tpu isn't pip-installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
-import os
 import time
 
 from promp_tpu.run import run_experiment

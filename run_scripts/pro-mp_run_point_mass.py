@@ -3,9 +3,15 @@
 Entry point mirroring reference run_scripts/pro-mp_run_point_mass.py
 (defaults :95-128; CLI :82-91).
 """
+import os
+import sys
+
+# Runnable straight from a checkout: a script's sys.path[0] is run_scripts/,
+# so add the repo root when promp_tpu isn't pip-installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
-import os
 import time
 
 from promp_tpu.run import run_experiment
