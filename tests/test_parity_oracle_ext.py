@@ -329,3 +329,98 @@ def test_dice_inner_and_outer_step_match_oracle():
             np.testing.assert_allclose(
                 np.asarray(new_state["params"][k]),
                 tp[k].detach().numpy(), atol=1e-6, err_msg=k)
+
+
+# ------------------------------------------------- VPG-MAML/E-MAML oracle
+def test_vpg_maml_emaml_outer_step_matches_oracle():
+    """ONE VPG-MAML outer step WITH the E-MAML exploration term against an
+    independent torch float64 implementation: the REINFORCE meta-objective
+    on post-update distributions (vpg_maml.py:119-139), the exploration
+    credit ``- mean(adj_avg_rewards[last round]) * mean(log pi_0(a_0))``
+    on PRE-update actions with gradients flowing to the pre-update policy
+    (:127-134), and the TF1-Adam outer update
+    (maml_first_order_optimizer.py:82-115). Closes the one algorithm
+    family the r4 oracle suite left to self-consistency tests."""
+    from promp_tpu.algos import VPGMAML
+    with jax.enable_x64():
+        # seed 7: all four corners drawn as tasks, so the biased (+,+)
+        # drift earns nonzero sparse rewards and the exploration
+        # coefficients are far from zero (seeds whose task draw excludes
+        # the (2,2) corner yield all-zero rewards -> a no-op oracle)
+        policy, params, algo, step_sizes, sampler = _setup(
+            VPGMAML, seed=7, learning_rate=1e-3, exploration=True,
+            max_epochs=1)
+        proc = SampleProcessor(discount=GAMMA, gae_lambda=LAM,
+                               normalize_adv=True)
+        tasks = sampler.sample_tasks()
+        task_params = policy.replicate(params, META_BS)
+        paths0 = sampler.obtain_samples(task_params, tasks, floor_std=True)
+        proc0 = proc.process(_to_batched(paths0))
+        proc0.pop("stats")
+        adapted = algo.adapt(task_params, step_sizes, proc0)
+        paths1 = sampler.obtain_samples(adapted, tasks, floor_std=False)
+        proc1 = proc.process(_to_batched(paths1))
+        proc1.pop("stats")
+
+        train_state = {"params": params, "step_sizes": step_sizes}
+        opt_state = algo.init_opt_state(train_state)
+        new_state, _, metrics = algo.optimize_policy(
+            train_state, opt_state, [proc0, proc1], algo.init_hparams())
+
+        # ---------------- independent torch float64 implementation
+        adv0 = [np.asarray(proc0["advantages"][i]) for i in range(META_BS)]
+        adv1 = [np.asarray(proc1["advantages"][i]) for i in range(META_BS)]
+        round0 = to_task_views(paths0, adv0)
+        round1 = to_task_views(paths1, adv1)
+        # exploration coefficients: LAST round's globally z-scored rewards
+        # (meta_sample_processor.py:39-44), averaged per task
+        adj_mean = [float(np.mean(np.asarray(proc1["adj_avg_rewards"][i])))
+                    for i in range(META_BS)]
+        assert max(abs(a) for a in adj_mean) > 1e-3, \
+            "degenerate data: zero exploration coefficients"
+        tp = torch_params(params)
+        keys = list(tp.keys())
+
+        def meta_loss(p):
+            objs = []
+            for i in range(META_BS):
+                ad = torch_adapt(p, round0[i], floor_std=True,
+                                 create_graph=True)
+                d1 = round1[i]
+                mean1, ls1 = torch_forward(ad, d1["obs"], floor_std=False)
+                obj = -(torch_loglik(d1["act"], mean1, ls1)
+                        * d1["adv"]).mean()
+                # E-MAML term: pre-update dists from the CURRENT params
+                # (floored variable path), pre-update actions
+                mean0, ls0 = torch_forward(p, round0[i]["obs"],
+                                           floor_std=True)
+                logli0 = torch_loglik(round0[i]["act"], mean0, ls0)
+                obj = obj - adj_mean[i] * logli0.mean()
+                objs.append(obj)
+            return torch.stack(objs).mean()
+
+        loss = meta_loss(tp)
+        np.testing.assert_allclose(float(metrics["LossBefore"]),
+                                   float(loss), atol=1e-9)
+        grads = torch.autograd.grad(loss, [tp[k] for k in keys])
+        assert max(float(g.abs().max()) for g in grads) > 1e-8
+        adam = TF1Adam(keys, lr=1e-3)
+        tp = adam.step(tp, dict(zip(keys, grads)))
+        for k in keys:
+            np.testing.assert_allclose(
+                np.asarray(new_state["params"][k]),
+                tp[k].detach().numpy(), atol=1e-6, err_msg=k)
+
+        # the exploration term must have mattered: the same step WITHOUT
+        # it lands on measurably different parameters
+        algo_off = VPGMAML(policy=policy, inner_lr=INNER_LR,
+                           num_inner_grad_steps=1, learning_rate=1e-3,
+                           exploration=False, max_epochs=1)
+        state_off, _, _ = algo_off.optimize_policy(
+            {"params": params, "step_sizes": step_sizes},
+            algo_off.init_opt_state(train_state), [proc0, proc1],
+            algo_off.init_hparams())
+        diff = max(float(jnp.max(jnp.abs(state_off["params"][k]
+                                         - new_state["params"][k])))
+                   for k in keys)
+        assert diff > 1e-7, "exploration term had no effect on the step"
