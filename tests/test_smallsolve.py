@@ -94,3 +94,51 @@ def test_adam_skips_nonfinite_updates():
     p3, _s3 = opt.update(good, s2, p2)
     assert np.all(np.isfinite(np.asarray(p3["w"])))
     assert not np.allclose(np.asarray(p3["w"]), np.asarray(p2["w"]))
+
+
+def test_finite_guard_skip_counter_visible():
+    """r5 ADVICE follow-through: skipped epochs are COUNTED in AdamState
+    so persistently non-finite gradients surface as SkippedUpdates
+    instead of a silently frozen run."""
+    import jax.numpy as jnp
+
+    from promp_tpu.optimizers.adam import Adam
+
+    opt = Adam(learning_rate=0.1)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    assert int(state.skipped) == 0
+    good = {"w": jnp.full((3,), 0.5)}
+    bad = {"w": jnp.array([0.1, jnp.nan, 0.1])}
+    _, s1 = opt.update(good, state, params)
+    assert int(s1.skipped) == 0
+    _, s2 = opt.update(bad, s1, params)
+    _, s3 = opt.update(bad, s2, params)
+    assert int(s3.skipped) == 2
+    _, s4 = opt.update(good, s3, params)
+    assert int(s4.skipped) == 2  # counter holds, finite epochs resume
+
+
+def test_clamped_pivot_count_diagnostic():
+    """r5 ADVICE follow-through: the pivot-floor clamp's diagnostic mate
+    reports how many Cholesky pivots were numerically semidefinite —
+    zero on a healthy SPD system, positive on a rank-deficient one."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from promp_tpu.ops.smallsolve import chol_solve_cols, clamped_pivot_count
+
+    rng = np.random.default_rng(0)
+    B = rng.normal(size=(6, 6))
+    spd = jnp.asarray(B @ B.T + 6 * np.eye(6), jnp.float32)
+    assert int(clamped_pivot_count(spd)) == 0
+
+    v = rng.normal(size=(6, 1))
+    rank1 = jnp.asarray(v @ v.T, jnp.float32)  # rank 1: 5 zero pivots
+    n_clamped = int(clamped_pivot_count(rank1))
+    assert n_clamped >= 4
+    # and the clamped solve on the same system stays finite (the behavior
+    # the diagnostic exists to make visible)
+    x = chol_solve_cols(rank1, jnp.ones((6,), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(x)))
