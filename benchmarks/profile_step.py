@@ -28,11 +28,11 @@ from promp_tpu.envs.base import make_env
 
 def timeit(fn, *args, n=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0])  # full sync (tunnel-safe)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / n
 
 
@@ -50,7 +50,7 @@ def main():
     tasks = env.sample_tasks(key, B)
     states, _ = jax.jit(jax.vmap(env.reset))(
         jax.random.split(key, B), tasks)
-    acts = 0.3 * jax.random.normal(key, (B, m.act_dof.shape[0]))
+    acts = 0.3 * jax.random.normal(key, (B, len(m.act_dof)))
 
     def scan_steps(states, tasks, acts):
         def body(c, _):
