@@ -87,6 +87,15 @@ class Engine:
     # so the fast path is not auto-selected on the CPU backend. Parity
     # tests construct the substep directly and can opt back in here.
     spatial_on_cpu: bool = False
+    # Pallas substep megakernel (ops/pallas_substep.py): the whole
+    # frame_skip x n_substeps chain of one env step runs as ONE Mosaic
+    # program with every per-dof scalar VMEM-resident — q/qd/tau are
+    # read from HBM once per env step instead of once per XLA fusion
+    # per substep. TPU only (Mosaic); picked up transparently under
+    # vmap via custom_vmap, per-instance calls fall back to the scan.
+    # Physics-mods calls (rand-params envs) bypass it at the call site.
+    use_pallas_substep: bool = True
+    pallas_substep_tile: int = 1024
 
     # ------------------------------------------------------------------- fk
     def fk(self, q):
@@ -675,6 +684,24 @@ class Engine:
             return None
         return self._cached("_spatial_substep_cache", build)
 
+    def _pallas_chain(self, n_steps):
+        """Cached vmappable Pallas substep-chain for n_steps, or None."""
+        def build():
+            if not self.use_pallas_substep:
+                return None
+            if jax.default_backend() in ("cpu",):
+                return None        # Mosaic kernels are TPU-only here
+            from promp_tpu.ops import pallas_substep
+            if not pallas_substep.pallas_chain_ok(self):
+                return None
+            return pallas_substep.make_vmappable_chain(
+                self, n_steps, tile=self.pallas_substep_tile)
+
+        cache = self._cached("_pallas_chain_cache", dict)
+        if n_steps not in cache:
+            cache[n_steps] = build()
+        return cache[n_steps]
+
     def step(self, q, qd, ctrl, frame_skip, mods=None):
         """Advance frame_skip MJCF frames (the env-visible dt)."""
         m = self.model
@@ -686,6 +713,10 @@ class Engine:
         tau_act = jnp.zeros(m.nv, dt).at[jnp.asarray(m.act_dof)].add(
             gear * ctrl)
         h = jnp.asarray(m.timestep / self.n_substeps, dt)
+        if mods is None and self._planar_substep is None:
+            chain = self._pallas_chain(frame_skip * self.n_substeps)
+            if chain is not None:
+                return chain(q, qd, tau_act)
         substep = (self._planar_substep or self._spatial_substep
                    or self.substep)
 

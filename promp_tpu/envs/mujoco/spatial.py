@@ -208,11 +208,26 @@ def _sym_add(A, B):
     return tuple(_add(a, b) for a, b in zip(A, B))
 
 
-def make_spatial_substep(engine):
+def make_spatial_substep(engine, contact_impl="tensor", list_io=False):
     """Build the scalar-unrolled 3-D substep for ``engine``'s model.
 
     Returns ``substep(q, qd, tau_act, h, mods) -> (q_new, qd_new)`` with
     the same contract (and closed forms) as ``Engine.substep``.
+
+    Args:
+        contact_impl: "tensor" (default) assembles the contact J/A via
+            small (nc, nv, 3) einsums — the XLA-friendly form (the fully
+            scalar pair loops blew the remote full-program compile past
+            45 min, git 790f9d8). "scalar" keeps every contact quantity a
+            per-lane scalar — required inside the Pallas substep
+            megakernel (ops/pallas_substep.py), where the kernel body is
+            compiled by Mosaic (opaque to XLA, so the program-size
+            problem never reaches the XLA autograd/fusion passes).
+        list_io: when True, ``substep`` takes and returns PER-DOF LISTS
+            of scalars instead of (nv,) arrays (q[j] indexing works for
+            both, so the core is shared); the Pallas kernel uses this to
+            keep each dof a separate VMEM-lane vector with no
+            stack/unstack relayouts at the substep boundary.
     """
     m = engine.model
     nv, nb, nc = m.nv, m.nb, len(m.con_body)
@@ -299,6 +314,7 @@ def make_spatial_substep(engine):
 
         qs = [q[j] for j in range(nv)]
         qds = [qd[j] for j in range(nv)]
+        dt_ = qs[0].dtype
 
         mass = [mod1("body_mass", b, float(m.body_mass[b]))
                 for b in range(nb)]
@@ -496,7 +512,64 @@ def make_spatial_substep(engine):
         zero = jnp.zeros_like(qs[0])
         tau_con = [0.0] * nv
         Aent = {}
-        if nc:
+        if nc and contact_impl == "scalar":
+            # fully scalar per-contact loops (pre-790f9d8 form): identical
+            # closed forms to the tensor block below, kept for the Pallas
+            # megakernel where Mosaic compiles the body and the XLA
+            # program-size concern does not apply
+            for ci in range(nc):
+                b = con_body[ci]
+                P_abs = _vadd(p[b], _matvec(R[b], tuple(con_pos[ci])))
+                Pr = _vsub(P_abs, origin)
+                # point velocity from the body spatial velocity
+                vel = _vadd(Vv[b], _cross(Vw[b], Pr))
+                phi = _sub(P_abs[2], con_radius[ci])
+                in_con = (phi < 0.0).astype(dt_)
+                fn = _mul(jnp.maximum(_sub(_mul(k_con, -phi),
+                                           _mul(c_con, vel[2])), 0.0),
+                          in_con)
+                vt_norm = jnp.sqrt(_add(_add(_mul(vel[0], vel[0]),
+                                             _mul(vel[1], vel[1])), 1e-8))
+                ct_eff = _mul(jnp.minimum(ct_max, friction * fn / vt_norm),
+                              in_con)
+                active = _mul(in_con, (fn > 0.0).astype(dt_))
+                cn_eff = _mul(c_con, active)
+                kn_eff = _mul(k_con, active)
+                wt = _mul(h, ct_eff)
+                wn = _add(_mul(h, cn_eff), _mul(_mul(h, h), kn_eff))
+                # force for tau, with the RHS mate of the implicit h^2 K
+                # term folded into the normal component (engine.py:572-574)
+                fz = _sub(fn, _mul(h, _mul(kn_eff, vel[2])))
+                fx = _mul(-ct_eff, vel[0])
+                fy = _mul(-ct_eff, vel[1])
+                dofs = anc_dofs[b]
+                cols = []
+                for j in dofs:
+                    if is_hinge[j]:
+                        cols.append(_cross(axis_w[j],
+                                           _vsub(Pr, anchor_rel[j])))
+                    else:
+                        cols.append(axis_w[j])
+                for dj, col in zip(dofs, cols):
+                    tau_con[dj] = _add(tau_con[dj],
+                                       _add(_add(_mul(col[0], fx),
+                                                 _mul(col[1], fy)),
+                                            _mul(col[2], fz)))
+                # A += h ct (Jx Jx^T + Jy Jy^T) + (h cn + h^2 kn) Jz Jz^T
+                wtx = [_mul(wt, col[0]) for col in cols]
+                wty = [_mul(wt, col[1]) for col in cols]
+                wnz = [_mul(wn, col[2]) for col in cols]
+                for a in range(len(dofs)):
+                    ja = dofs[a]
+                    for bi in range(a + 1):
+                        jb = dofs[bi]
+                        cb = cols[bi]
+                        key = (max(ja, jb), min(ja, jb))
+                        term = _add(_add(_mul(wtx[a], cb[0]),
+                                         _mul(wty[a], cb[1])),
+                                    _mul(wnz[a], cb[2]))
+                        Aent[key] = _add(Aent.get(key, 0.0), term)
+        elif nc:
             hi_prec = jax.lax.Precision.HIGHEST
 
             def stack_rows(rows):
@@ -512,9 +585,9 @@ def make_spatial_substep(engine):
             Vw_c = stack_rows([Vw[con_body[ci]] for ci in range(nc)])
             Vv_c = stack_rows([Vv[con_body[ci]] for ci in range(nc)])
             vel = Vv_c + jnp.cross(Vw_c, Pr)                # (nc, 3)
-            radius = jnp.asarray(np.asarray(con_radius), q.dtype)
+            radius = jnp.asarray(np.asarray(con_radius), dt_)
             phi = P_abs[:, 2] - radius
-            in_con = (phi < 0.0).astype(q.dtype)
+            in_con = (phi < 0.0).astype(dt_)
             fn = jnp.maximum(k_con * (-phi) - c_con * vel[:, 2], 0.0) * in_con
             vt_norm = jnp.sqrt(vel[:, 0]**2 + vel[:, 1]**2 + 1e-8)
             ct_eff = jnp.minimum(ct_max, friction * fn / vt_norm) * in_con
@@ -530,11 +603,11 @@ def make_spatial_substep(engine):
             anchor_mat = stack_rows(anchor_rel)
             hinge_mask = jnp.asarray(
                 np.array([1.0 if hh else 0.0 for hh in is_hinge]),
-                q.dtype)[None, :, None]
+                dt_)[None, :, None]
             anc_mask = jnp.asarray(
                 np.stack([[1.0 if jj in anc_dofs[con_body[ci]] else 0.0
                            for jj in range(nv)] for ci in range(nc)]),
-                q.dtype)                                    # (nc, nv)
+                dt_)                                    # (nc, nv)
             rel = Pr[:, None, :] - anchor_mat[None, :, :]   # (nc, nv, 3)
             cols3 = (hinge_mask * jnp.cross(
                 jnp.broadcast_to(axis_mat[None], rel.shape), rel)
@@ -570,7 +643,7 @@ def make_spatial_substep(engine):
                 below = jnp.minimum(_sub(qs[j], jr_lo[j]), 0.0)
                 above = jnp.maximum(_sub(qs[j], jr_hi[j]), 0.0)
                 viol = _add(below, above)
-                active = (jnp.abs(viol) > 0).astype(q.dtype)
+                active = (jnp.abs(viol) > 0).astype(dt_)
                 tj = _sub(tj, _add(_mul(k_lim, viol),
                                    _mul(_mul(c_lim, qds[j]), active)))
                 c_l = _mul(c_lim, active)
@@ -637,11 +710,12 @@ def make_spatial_substep(engine):
         for pos, oj in enumerate(perm):
             qdd[oj] = xp[pos]
 
-        qd_new = jnp.stack([
-            jnp.clip(_add(qds[j], _mul(h, qdd[j])),
-                     -engine.max_qvel, engine.max_qvel) for j in range(nv)])
-        q_new = jnp.stack([_add(qs[j], _mul(h, qd_new[j]))
-                           for j in range(nv)])
-        return q_new, qd_new
+        qd_new = [jnp.clip(_add(qds[j], _mul(h, qdd[j])),
+                           -engine.max_qvel, engine.max_qvel)
+                  for j in range(nv)]
+        q_new = [_add(qs[j], _mul(h, qd_new[j])) for j in range(nv)]
+        if list_io:
+            return q_new, qd_new
+        return jnp.stack(q_new), jnp.stack(qd_new)
 
     return substep
