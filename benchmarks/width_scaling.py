@@ -36,6 +36,10 @@ def measure(jax, workload, width, n_timed):
 
     if workload == "cheetah":
         env = normalize(make_env("HalfCheetahRandVelEnv"))
+    elif workload == "ant":
+        env = normalize(make_env("AntRandGoalEnv"))
+    elif workload == "humanoid":
+        env = normalize(make_env("HumanoidRandDirecEnv"))
     else:
         env = normalize(MetaPointEnvCorner())
     policy = GaussianMLPPolicy(obs_dim=env.obs_dim,
@@ -111,7 +115,8 @@ def measure(jax, workload, width, n_timed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="both",
-                    choices=["both", "pointmass", "cheetah"])
+                    choices=["both", "pointmass", "cheetah", "ant",
+                             "humanoid"])
     ap.add_argument("--widths", default="20,100,200")
     args = ap.parse_args()
     import jax
