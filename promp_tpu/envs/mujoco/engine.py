@@ -94,6 +94,9 @@ class Engine:
     # per substep. TPU only (Mosaic); picked up transparently under
     # vmap via custom_vmap, per-instance calls fall back to the scan.
     # Physics-mods calls (rand-params envs) bypass it at the call site.
+    # Preferred over BOTH fallback formulations when eligible: on the
+    # planar bodies it beats the planar XLA path ~2.5x (cheetah
+    # physics-only 13.3M vs 5.4M env-steps/s at batch 800).
     use_pallas_substep: bool = True
     pallas_substep_tile: int = 1024
 
@@ -713,7 +716,12 @@ class Engine:
         tau_act = jnp.zeros(m.nv, dt).at[jnp.asarray(m.act_dof)].add(
             gear * ctrl)
         h = jnp.asarray(m.timestep / self.n_substeps, dt)
-        if mods is None and self._planar_substep is None:
+        if mods is None:
+            # The megakernel beats BOTH fallback formulations on TPU —
+            # planar bodies included (cheetah physics-only: 13.3M vs the
+            # planar XLA path's 5.4M env-steps/s at batch 800; parity
+            # planar-vs-kernel |dqd| <= 1.4e-5/env-step). Planar remains
+            # the fast path on CPU and for rand-params mods.
             chain = self._pallas_chain(frame_skip * self.n_substeps)
             if chain is not None:
                 return chain(q, qd, tau_act)

@@ -1,4 +1,9 @@
-"""Pallas TPU megakernel: fused multi-substep physics chain (3-D bodies).
+"""Pallas TPU megakernel: fused multi-substep physics chain.
+
+Covers every spatial-eligible body — the 3-D chains (ant, humanoid) it
+was built for AND the planar bodies (cheetah, hopper, walker), where it
+beats the scalar-unrolled planar XLA path ~2.5x (cheetah physics-only:
+13.3M vs 5.4M env-steps/s at batch 800) for the same HBM-traffic reason.
 
 Round 5 measured ant/humanoid as SUBSTEP-BOUND (benchmarks/
 profile_step.py: the full env step sits within 12%/6% of the

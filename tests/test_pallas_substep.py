@@ -68,7 +68,8 @@ def test_scalar_contacts_match_tensor(name):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("name", ["ant", "humanoid"])
+@pytest.mark.parametrize("name", ["ant", "humanoid", "half_cheetah",
+                                  "hopper", "walker2d"])
 def test_kernel_matches_substep_chain(name):
     m = get_model(name)
     eng = Engine(m, n_substeps=2)
