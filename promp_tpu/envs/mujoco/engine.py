@@ -687,8 +687,10 @@ class Engine:
             return None
         return self._cached("_spatial_substep_cache", build)
 
-    def _pallas_chain(self, n_steps):
-        """Cached vmappable Pallas substep-chain for n_steps, or None."""
+    def _pallas_chain(self, n_steps, mod_keys=()):
+        """Cached vmappable Pallas substep-chain for (n_steps, mod_keys),
+        or None. With mod_keys, the chain takes the rand-params mods
+        dict as a fourth argument (multipliers become kernel inputs)."""
         def build():
             if not self.use_pallas_substep:
                 return None
@@ -697,13 +699,19 @@ class Engine:
             from promp_tpu.ops import pallas_substep
             if not pallas_substep.pallas_chain_ok(self):
                 return None
+            if mod_keys:
+                if not pallas_substep.mod_keys_ok(mod_keys):
+                    return None
+                return pallas_substep.make_vmappable_chain_mods(
+                    self, n_steps, mod_keys,
+                    tile=self.pallas_substep_tile)
             return pallas_substep.make_vmappable_chain(
                 self, n_steps, tile=self.pallas_substep_tile)
 
         cache = self._cached("_pallas_chain_cache", dict)
-        if n_steps not in cache:
-            cache[n_steps] = build()
-        return cache[n_steps]
+        if (n_steps, mod_keys) not in cache:
+            cache[(n_steps, mod_keys)] = build()
+        return cache[(n_steps, mod_keys)]
 
     def step(self, q, qd, ctrl, frame_skip, mods=None):
         """Advance frame_skip MJCF frames (the env-visible dt)."""
@@ -716,15 +724,21 @@ class Engine:
         tau_act = jnp.zeros(m.nv, dt).at[jnp.asarray(m.act_dof)].add(
             gear * ctrl)
         h = jnp.asarray(m.timestep / self.n_substeps, dt)
+        # The megakernel beats BOTH fallback formulations on TPU —
+        # planar bodies included (cheetah physics-only: 13.3M vs the
+        # planar XLA path's 5.4M env-steps/s at batch 800; parity
+        # planar-vs-kernel |dqd| <= 1.4e-5/env-step). Rand-params mods
+        # ride along as packed per-lane multiplier inputs. Planar
+        # remains the fast path on CPU and for unsupported mod keys.
         if mods is None:
-            # The megakernel beats BOTH fallback formulations on TPU —
-            # planar bodies included (cheetah physics-only: 13.3M vs the
-            # planar XLA path's 5.4M env-steps/s at batch 800; parity
-            # planar-vs-kernel |dqd| <= 1.4e-5/env-step). Planar remains
-            # the fast path on CPU and for rand-params mods.
             chain = self._pallas_chain(frame_skip * self.n_substeps)
             if chain is not None:
                 return chain(q, qd, tau_act)
+        else:
+            chain = self._pallas_chain(frame_skip * self.n_substeps,
+                                       tuple(sorted(mods)))
+            if chain is not None:
+                return chain(q, qd, tau_act, mods)
         substep = (self._planar_substep or self._spatial_substep
                    or self.substep)
 

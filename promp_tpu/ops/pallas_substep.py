@@ -53,13 +53,69 @@ from jax.experimental.pallas import tpu as pltpu
 
 def pallas_chain_ok(engine) -> bool:
     """Static eligibility: the spatial scalar formulation must cover the
-    model (spatial.spatial_ok) — rand-params physics mods are handled at
-    the call site (the kernel closes over unmodified model constants)."""
+    model (spatial.spatial_ok)."""
     from promp_tpu.envs.mujoco import spatial
     return spatial.spatial_ok(engine.model)
 
 
-def make_pallas_chain(engine, n_steps, tile=1024, interpret=False):
+# Rand-params multiplier keys the kernel can take as per-lane inputs
+# (rand_params.py RAND_PARAMS; shapes per instance). Any other key in a
+# mods dict makes the env fall back to the substep scan.
+_MOD_BASE_NDIM = {"body_mass": 1, "body_inertia": 2, "dof_damping": 1,
+                  "friction": 0}
+
+
+def mod_keys_ok(mod_keys) -> bool:
+    return all(k in _MOD_BASE_NDIM for k in mod_keys)
+
+
+def _mod_rows(model, key):
+    """Packed row count for one mod key."""
+    return {"body_mass": model.nb, "body_inertia": 3 * model.nb,
+            "dof_damping": model.nv, "friction": 1}[key]
+
+
+class _Mat:
+    """[b, k]-indexable list-of-lists (the substep indexes
+    mods['body_inertia'][b, k] with a tuple)."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __getitem__(self, ix):
+        b, k = ix
+        return self._rows[b][k]
+
+
+def _pack_mods(model, mod_keys, mods):
+    """dict of (B, ...) leaves -> one (B, nm) float32 array, rows in
+    mod_keys order."""
+    cols = [jnp.asarray(mods[k], jnp.float32).reshape(
+                mods[k].shape[0], -1) for k in mod_keys]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_mods_rows(model, mod_keys, row):
+    """row(i) -> (tile,) lane vector for packed row i; rebuild the mods
+    dict of per-lane scalars the substep trace consumes."""
+    nb, nv = model.nb, model.nv
+    d, off = {}, 0
+    for k in mod_keys:
+        if k == "body_mass":
+            d[k] = [row(off + b) for b in range(nb)]
+        elif k == "body_inertia":
+            d[k] = _Mat([[row(off + 3 * b + c) for c in range(3)]
+                         for b in range(nb)])
+        elif k == "dof_damping":
+            d[k] = [row(off + j) for j in range(nv)]
+        elif k == "friction":
+            d[k] = row(off)
+        off += _mod_rows(model, k)
+    return d
+
+
+def make_pallas_chain(engine, n_steps, tile=1024, interpret=False,
+                      mod_keys=()):
     """Build the batched K-substep chain kernel.
 
     Returns ``chain(q, qd, tau) -> (q2, qd2)`` over ``(B, nv)`` arrays:
@@ -67,6 +123,13 @@ def make_pallas_chain(engine, n_steps, tile=1024, interpret=False):
     fixed (exactly ``engine.step``'s scan, engine.py:692-698). Batch is
     padded to a multiple of ``tile`` lanes; each grid step owns one
     (nv, tile) block resident in VMEM.
+
+    With ``mod_keys`` (sorted tuple of rand-params multiplier names,
+    rand_params.py RAND_PARAMS), the chain takes a fourth ``(B, nm)``
+    packed-mods argument (``_pack_mods``): each multiplier becomes one
+    more VMEM-resident lane vector and the substep trace multiplies it
+    into the otherwise const-folded model constants — per-task physics
+    without leaving the kernel.
     """
     from promp_tpu.envs.mujoco import spatial
 
@@ -75,15 +138,22 @@ def make_pallas_chain(engine, n_steps, tile=1024, interpret=False):
     sub = spatial.make_spatial_substep(engine, contact_impl="scalar",
                                        list_io=True)
     h = float(m.timestep / engine.n_substeps)
+    nm = sum(_mod_rows(m, k) for k in mod_keys)
 
-    def kernel(q_ref, qd_ref, tau_ref, qo_ref, qdo_ref):
+    def kernel(*refs):
+        if mod_keys:
+            q_ref, qd_ref, tau_ref, mod_ref, qo_ref, qdo_ref = refs
+            mods = _unpack_mods_rows(m, mod_keys, lambda i: mod_ref[i, :])
+        else:
+            q_ref, qd_ref, tau_ref, qo_ref, qdo_ref = refs
+            mods = None
         qs = [q_ref[j, :] for j in range(nv)]
         qds = [qd_ref[j, :] for j in range(nv)]
         taus = [tau_ref[j, :] for j in range(nv)]
 
         def body(_, carry):
             qs, qds = carry
-            q2, qd2 = sub(qs, qds, taus, h, None)
+            q2, qd2 = sub(qs, qds, taus, h, mods)
             return (q2, qd2)
 
         qs, qds = jax.lax.fori_loop(0, n_steps, body, (qs, qds),
@@ -93,7 +163,7 @@ def make_pallas_chain(engine, n_steps, tile=1024, interpret=False):
             qdo_ref[j, :] = qds[j]
 
     @jax.jit
-    def chain(q, qd, tau):
+    def chain(q, qd, tau, mods_packed=None):
         B = q.shape[0]
         # shrink the tile for small batches (validation runs) so padding
         # stays <=127 lanes; tile=1024 fills all 8 VPU sublanes per op
@@ -106,17 +176,23 @@ def make_pallas_chain(engine, n_steps, tile=1024, interpret=False):
         pad = [(0, Bp - B)]
 
         def prep(x):
-            # (B, nv) -> (nv, Bp): dofs on sublanes, batch on lanes
+            # (B, rows) -> (rows, Bp): scalars on sublanes, batch lanes
             return jnp.pad(x.T, [(0, 0)] + pad)
 
+        ins = [prep(q), prep(qd), prep(tau)]
+        in_specs = [spec] * 3
+        if mod_keys:
+            ins.append(prep(mods_packed))
+            in_specs.append(pl.BlockSpec((nm, tile_e), lambda i: (0, i),
+                                         memory_space=pltpu.VMEM))
         qo, qdo = pl.pallas_call(
             kernel,
             grid=(Bp // tile_e,),
-            in_specs=[spec] * 3,
+            in_specs=in_specs,
             out_specs=[spec] * 2,
             out_shape=[jax.ShapeDtypeStruct((nv, Bp), q.dtype)] * 2,
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(prep(q), prep(qd), prep(tau))
+        )(*ins)
         return qo[:, :B].T, qdo[:, :B].T
 
     return chain
@@ -169,5 +245,70 @@ def make_vmappable_chain(engine, n_steps, tile=1024, interpret=False):
     def single_rule(axis_size, in_batched, q, qd, tau):
         q, qd, tau = _bcast(axis_size, in_batched, (q, qd, tau))
         return flat(q, qd, tau), (True, True)
+
+    return single
+
+
+def make_vmappable_chain_mods(engine, n_steps, mod_keys, tile=1024,
+                              interpret=False):
+    """Mods-aware sibling of ``make_vmappable_chain``: per-instance
+    ``(q, qd, tau, mods) -> (q2, qd2)`` where ``mods`` is a rand-params
+    multiplier dict (rand_params.py shapes per instance). Under vmap the
+    task axis batches the mods; the env axis broadcasts them — both
+    flatten into kernel batch lanes with the multipliers packed as extra
+    VMEM lane vectors. Unbatched calls fall back to the spatial-substep
+    scan with the same mods dict."""
+    from promp_tpu.envs.mujoco import spatial
+
+    m = engine.model
+    mod_keys = tuple(mod_keys)
+    batched = make_pallas_chain(engine, n_steps, tile=tile,
+                                interpret=interpret, mod_keys=mod_keys)
+    sub = spatial.make_spatial_substep(engine)
+    h = jnp.asarray(float(m.timestep / engine.n_substeps), engine.dtype)
+
+    def _bc(a, b, axis_size):
+        return a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+    def _bc_mods(mods, mb, axis_size):
+        return {k: _bc(v, mb[k], axis_size) for k, v in mods.items()}
+
+    @jax.custom_batching.custom_vmap
+    def flat(q, qd, tau, mods):
+        # (B, ...) batched entry — the kernel itself
+        return batched(q, qd, tau, _pack_mods(m, mod_keys, mods))
+
+    @flat.def_vmap
+    def flat_rule(axis_size, in_batched, q, qd, tau, mods):
+        # an extra leading axis on an already-batched call: flatten it
+        # into the kernel batch and recurse (each vmap layer peels once)
+        q = _bc(q, in_batched[0], axis_size)
+        qd = _bc(qd, in_batched[1], axis_size)
+        tau = _bc(tau, in_batched[2], axis_size)
+        mods = _bc_mods(mods, in_batched[3], axis_size)
+        shp = q.shape
+        fmods = {k: v.reshape((-1,) + v.shape[v.ndim - _MOD_BASE_NDIM[k]:])
+                 for k, v in mods.items()}
+        qo, qdo = flat(q.reshape(-1, shp[-1]), qd.reshape(-1, shp[-1]),
+                       tau.reshape(-1, shp[-1]), fmods)
+        return (qo.reshape(shp), qdo.reshape(shp)), (True, True)
+
+    @jax.custom_batching.custom_vmap
+    def single(q, qd, tau, mods):
+        # unbatched fallback: the spatial-substep scan (engine.step form)
+        def body(carry, _):
+            q, qd = carry
+            return sub(q, qd, tau, h, mods), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=n_steps)
+        return q, qd
+
+    @single.def_vmap
+    def single_rule(axis_size, in_batched, q, qd, tau, mods):
+        q = _bc(q, in_batched[0], axis_size)
+        qd = _bc(qd, in_batched[1], axis_size)
+        tau = _bc(tau, in_batched[2], axis_size)
+        mods = _bc_mods(mods, in_batched[3], axis_size)
+        return flat(q, qd, tau, mods), (True, True)
 
     return single

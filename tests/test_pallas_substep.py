@@ -121,3 +121,88 @@ def test_engine_gate_off_on_cpu():
     # backend (tests run here); direct construction remains available
     eng = Engine(get_model("ant"), n_substeps=2)
     assert eng._pallas_chain(10) is None
+
+
+# --------------------------------------------------------- rand-params mods
+# The mods-aware chain (make_vmappable_chain_mods): rand-params
+# multipliers ride into the kernel as packed per-lane inputs and must
+# reproduce the generic engine substep with the same mods dict
+# (rand_params.py sampling; engine.substep mods contract).
+
+def _mods_ref_chain(eng, q, qd, tau, mods, n_steps):
+    h = jnp.asarray(eng.model.timestep / eng.n_substeps, jnp.float32)
+
+    def one(q, qd, tau, md):
+        def body(c, _):
+            qq, qdd = c
+            return eng.substep(qq, qdd, tau, h, md), None
+
+        (qq, qdd), _ = jax.lax.scan(body, (q, qd), None, length=n_steps)
+        return qq, qdd
+
+    return jax.vmap(one)(q, qd, tau, mods)
+
+
+@pytest.mark.parametrize("name", ["hopper", "walker2d"])
+def test_mods_kernel_matches_generic(name):
+    from promp_tpu.envs.mujoco.rand_params import sample_param_multipliers
+    from promp_tpu.ops.pallas_substep import make_vmappable_chain_mods
+
+    m = get_model(name)
+    eng = Engine(m, n_substeps=2)
+    B = 6
+    mods = sample_param_multipliers(jax.random.PRNGKey(7), m, B, 3.0)
+    q, qd, tau = _batch(m, 3, B=B)
+    chain = make_vmappable_chain_mods(eng, K, tuple(sorted(mods)),
+                                      tile=128, interpret=True)
+    qk, qdk = jax.vmap(chain)(q, qd, tau, mods)
+    qr, qdr = _mods_ref_chain(eng, q, qd, tau, mods, K)
+    np.testing.assert_allclose(np.asarray(qk), np.asarray(qr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qdk), np.asarray(qdr),
+                               rtol=1e-3, atol=1e-3)
+
+    # unbatched fallback: the spatial-substep scan with the mods dict
+    md0 = jax.tree.map(lambda v: v[0], mods)
+    qs, qds = jax.jit(chain)(q[0], qd[0], tau[0], md0)
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(qr[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mods_kernel_task_env_nesting():
+    # the rollout's shape: mods batched on the task axis only, q/qd/tau
+    # on (task, env) — the env-level vmap broadcasts the mods
+    from promp_tpu.envs.mujoco.rand_params import sample_param_multipliers
+    from promp_tpu.ops.pallas_substep import make_vmappable_chain_mods
+
+    m = get_model("hopper")
+    eng = Engine(m, n_substeps=2)
+    n_tasks, n_envs = 2, 3
+    mods = sample_param_multipliers(jax.random.PRNGKey(8), m, n_tasks, 3.0)
+    q, qd, tau = _batch(m, 4, B=n_tasks * n_envs)
+    r = lambda x: x.reshape(n_tasks, n_envs, m.nv)
+    chain = make_vmappable_chain_mods(eng, K, tuple(sorted(mods)),
+                                      tile=128, interpret=True)
+    qn, qdn = jax.vmap(
+        lambda qq, qdd, tt, md: jax.vmap(
+            lambda a, b, c: chain(a, b, c, md))(qq, qdd, tt))(
+        r(q), r(qd), r(tau), mods)
+    # reference: replicate mods across the env axis and flatten
+    mods_flat = jax.tree.map(
+        lambda v: jnp.repeat(v, n_envs, axis=0), mods)
+    qr, qdr = _mods_ref_chain(eng, q, qd, tau, mods_flat, K)
+    np.testing.assert_allclose(np.asarray(qn.reshape(q.shape)),
+                               np.asarray(qr), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qdn.reshape(qd.shape)),
+                               np.asarray(qdr), rtol=1e-3, atol=1e-3)
+
+
+def test_engine_mods_gate():
+    # unsupported mod keys must fall back (chain is None); supported
+    # keys build on TPU only (None on the CPU test backend)
+    from promp_tpu.ops.pallas_substep import mod_keys_ok
+    assert mod_keys_ok(("body_mass", "friction"))
+    assert not mod_keys_ok(("geom_size",))
+    eng = Engine(get_model("hopper"), n_substeps=2)
+    assert eng._pallas_chain(8, ("geom_size",)) is None
+    assert eng._pallas_chain(8, ("body_mass",)) is None  # CPU backend
