@@ -69,6 +69,12 @@ MUJOCO_WORKLOADS = {
     "cheetah": ("half_cheetah.xml", 5),
     "ant": ("ant.xml", 5),
     "humanoid": ("humanoid.xml", 5),
+    # rand-params family (reference: external rand_param_envs package,
+    # gym hopper/walker dynamics + per-task physics multipliers; the
+    # multiplier rewrite happens at reset, so per-step cost is the
+    # same mj_step + obs/reward arithmetic)
+    "hopper_rp": ("hopper.xml", 4),
+    "walker_rp": ("walker2d.xml", 8),
 }
 
 
@@ -114,6 +120,12 @@ def mujoco_step_cost(workload):
             reward = (-np.sum(np.abs(d.qpos[:2] - goal))
                       - 0.1 * np.square(a).sum()
                       - 0.5e-3 * np.square(cfrc).sum())
+        elif workload in ("hopper_rp", "walker_rp"):
+            # rand_param_envs hopper/walker step: obs = [qpos[1:],
+            # clip(qvel, -10, 10)], reward = vel + 1 alive - 1e-3||a||^2
+            obs = np.concatenate([d.qpos.flat[1:],
+                                  np.clip(d.qvel.flat, -10, 10)])
+            reward = d.qvel[0] + 1.0 - 1e-3 * np.sum(np.square(a))
         else:  # humanoid
             obs = np.concatenate([d.qpos.flat[2:], d.qvel.flat,
                                   d.cinert.flat, d.cvel.flat,
@@ -136,13 +148,18 @@ OBS_ACT_DIMS = {
     "cheetah": (20, 6),
     "ant": (111, 8),
     "humanoid": (376, 17),
+    # hopper 11/3, walker 17/6: qpos[1:] + qvel (rand_param_envs gym
+    # dynamics; matches envs/mujoco/rand_params.py obs dims)
+    "hopper_rp": (11, 3),
+    "walker_rp": (17, 6),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="pointmass",
-                    choices=["pointmass", "cheetah", "ant", "humanoid"])
+                    choices=["pointmass", "cheetah", "ant", "humanoid",
+                             "hopper_rp", "walker_rp"])
     ap.add_argument("--update-json", action="store_true",
                     help="merge the measured bound into benchmarks/"
                          "bounds.json (read by bench.py for vs_baseline)")
